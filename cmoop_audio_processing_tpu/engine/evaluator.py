@@ -1,0 +1,239 @@
+"""Population evaluator: genome list -> (accuracy, size_mb, fpr) fitness.
+
+This is the true-fitness layer (L3) rebuilt TPU-first. Instead of the
+reference's serial build/clear_session/fit per individual
+(sa_nsga_penalty.py:205-253), genomes are grouped into (filters, kernel)
+shape buckets; each bucket's sub-population is padded to a power of two and
+trained by ONE cached compiled program (engine/trainer.py). A 15-individual
+generation therefore costs at most 6 program launches — typically 2-4 — and
+each launch trains its whole sub-population concurrently.
+
+Size is computed analytically from the genome (models/genome_arch.py), never
+from materialized parameters, exactly reproducing Keras count_params * 4
+bytes (nsga_penalty.py:337-344).
+
+A deterministic FakeEvaluator over the enumerable 288-genome space stands in
+for device training in driver tests (SURVEY.md §4 item 4: the
+reference-faithful analogue of a fake backend).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TrainConfig
+from ..core.genome import Genome, genome_key
+from ..models.genome_arch import model_size_mb
+from ..models.supernet import BucketSpec, init_population
+from .trainer import TrainSettings, make_population_trainer, pad_dataset
+
+Fitness = Tuple[float, float, float]  # (acc, size_mb, fpr)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class PopulationEvaluator:
+    """Evaluates genome populations on device with per-bucket compiled
+    programs and a cross-generation compilation cache."""
+
+    def __init__(
+        self,
+        data: Dict[str, np.ndarray],
+        train_cfg: TrainConfig,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        donate: bool = True,
+    ):
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.settings = TrainSettings(
+            epochs=train_cfg.epochs,
+            batch_size=train_cfg.batch_size,
+            patience=train_cfg.patience,
+            learning_rate=train_cfg.learning_rate,
+            restore_best_weights=train_cfg.restore_best_weights,
+        )
+        # pre-pad datasets once; device transfer happens lazily on first use
+        xtr, ytr, wtr = pad_dataset(
+            data["x_train"], data["y_train"], train_cfg.batch_size
+        )
+        xval, yval, wval = pad_dataset(
+            data["x_val"], data["y_val"], self.settings.eval_batch_size
+        )
+        self._train = (
+            jnp.asarray(xtr), jnp.asarray(ytr), jnp.asarray(wtr),
+        )
+        self._val = (
+            jnp.asarray(xval), jnp.asarray(yval), jnp.asarray(wval),
+        )
+        self._compiled: Dict[tuple, "jax.stages.Wrapped"] = {}
+        self._eval_count = 0
+        self.timings: List[Dict] = []
+
+    # -- caching --------------------------------------------------------------
+
+    def _bucket_spec(self, f: int, k: int) -> BucketSpec:
+        return BucketSpec(
+            template=self.cfg.template,
+            filters=f,
+            kernel=k,
+            num_classes=self.cfg.num_classes,
+            dropout_rate=self.cfg.dropout_rate,
+            compute_dtype=self.cfg.compute_dtype,
+        )
+
+    def _get_trainer(self, spec: BucketSpec, pop: int):
+        cache_key = (spec, pop)
+        if cache_key not in self._compiled:
+            fn = make_population_trainer(spec, self.settings, self.cfg.num_classes)
+            self._compiled[cache_key] = jax.jit(fn)
+        return self._compiled[cache_key]
+
+    # -- evaluation -----------------------------------------------------------
+
+    def evaluate(self, genomes: Sequence[Genome], seed: int = 0) -> List[Fitness]:
+        """Evaluate all genomes; returns fitness per genome in input order.
+        Genomes sharing a bucket train together in one program launch."""
+        t0 = time.perf_counter()
+        bucket_genes = self.cfg.bucket_genes
+        buckets: Dict[tuple, List[int]] = {}
+        for i, g in enumerate(genomes):
+            key = tuple(g[b] for b in bucket_genes)
+            buckets.setdefault(key, []).append(i)
+
+        results: List[Optional[Fitness]] = [None] * len(genomes)
+        for bkey, idxs in buckets.items():
+            f, k = int(bkey[0]), int(bkey[1])
+            spec = self._bucket_spec(f, k)
+            sub = [genomes[i] for i in idxs]
+            pop = min(
+                _next_pow2(len(sub)), max(self.cfg.max_models_per_program, 1)
+            )
+            # chunk oversized sub-populations
+            for start in range(0, len(sub), pop):
+                chunk_idx = idxs[start : start + pop]
+                chunk = sub[start : start + pop]
+                padded = list(chunk) + [chunk[0]] * (
+                    _next_pow2(max(len(chunk), 1)) - len(chunk)
+                )
+                fits = self._run_bucket(spec, padded, seed)
+                for j, gi in enumerate(chunk_idx):
+                    g = genomes[gi]
+                    acc, fpr = fits["acc"][j], fits["fpr"][j]
+                    size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
+                    results[gi] = (float(acc), float(size), float(fpr))
+        self.timings.append(
+            {
+                "n_genomes": len(genomes),
+                "n_buckets": len(buckets),
+                "seconds": time.perf_counter() - t0,
+            }
+        )
+        self._eval_count += len(genomes)
+        return results  # type: ignore[return-value]
+
+    def _run_bucket(self, spec: BucketSpec, padded: List[Genome], seed: int):
+        pop = len(padded)
+        init_key = jax.random.fold_in(jax.random.key(seed), self._eval_count)
+        params, state, flags = init_population(init_key, spec, padded)
+        if self.mesh is not None:
+            params, state, flags = self._shard_population(params, state, flags)
+        trainer = self._get_trainer(spec, pop)
+        xtr, ytr, wtr = self._train
+        xval, yval, wval = self._val
+        out = trainer(
+            params, state, flags, xtr, ytr, wtr, xval, yval, wval,
+            jax.random.fold_in(init_key, 1),
+        )
+        acc_key = "acc_eval" if self.cfg.accuracy_from == "best" else "acc_last"
+        return {
+            "acc": np.asarray(out[acc_key]),
+            "fpr": np.asarray(out["fpr"]),
+            "epochs": np.asarray(out["epochs_ran"]),
+        }
+
+    def _shard_population(self, params, state, flags):
+        """Shard the population axis over the mesh's 'pop' axis; data stays
+        replicated (SURVEY.md §2.3: population data-parallelism over ICI)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pop_sharding = NamedSharding(self.mesh, P("pop"))
+
+        def shard_leaf(x):
+            return jax.device_put(x, NamedSharding(self.mesh, P(*( ("pop",) + (None,) * (x.ndim - 1)))))
+
+        params = jax.tree.map(shard_leaf, params)
+        state = jax.tree.map(shard_leaf, state)
+        flags = jax.tree.map(shard_leaf, flags)
+        return params, state, flags
+
+    @property
+    def total_true_evals(self) -> int:
+        return self._eval_count
+
+
+class FakeEvaluator:
+    """Deterministic closed-form fitness over the 288-genome space.
+
+    acc/fpr are smooth functions of the genome (bigger nets & BN help
+    accuracy; more blocks & BN reduce FPR), size is the real analytic size,
+    so constraint structure mirrors the real problem and the exact Pareto set
+    is computable by enumeration. Optional noise makes repeated evaluation
+    non-identical, mimicking retraining variance."""
+
+    def __init__(
+        self,
+        num_classes: int = 10,
+        template: str = "A",
+        noise: float = 0.0,
+        seed: int = 0,
+    ):
+        self.num_classes = num_classes
+        self.template = template
+        self.noise = noise
+        self._rng = np.random.default_rng(seed)
+        self.total_true_evals = 0
+        self.timings: List[Dict] = []
+
+    def fitness(self, g: Genome) -> Fitness:
+        from ..core.genome import HPARAM_SPACE
+
+        f_idx = HPARAM_SPACE["filters"].index(g["filters"])
+        acc = (
+            0.80
+            + 0.02 * f_idx
+            + 0.02 * g["residual_blocks"]
+            + 0.008 * g["fc_layers"]
+            + (0.012 if g["use_bn"] else 0.0)
+            - (0.004 if g["use_dropout"] else 0.0)
+            + (0.002 if g["kernel_size"] == 5 else 0.0)
+        )
+        size = model_size_mb(g, self.num_classes, self.template)
+        fpr = (
+            0.14
+            - 0.035 * g["residual_blocks"]
+            - (0.015 if g["use_bn"] else 0.0)
+            - 0.01 * f_idx
+            + (0.003 if g["kernel_size"] == 5 else 0.0)
+        )
+        return min(acc, 0.995), size, max(fpr, 0.002)
+
+    def evaluate(self, genomes: Sequence[Genome], seed: int = 0) -> List[Fitness]:
+        out = []
+        for g in genomes:
+            acc, size, fpr = self.fitness(g)
+            if self.noise:
+                acc = float(np.clip(acc + self._rng.normal(0, self.noise), 0, 1))
+                fpr = float(max(fpr + self._rng.normal(0, self.noise / 2), 0.0))
+            out.append((acc, size, fpr))
+        self.total_true_evals += len(genomes)
+        return out

@@ -1,0 +1,311 @@
+"""Vmapped population trainer: one XLA program trains, early-stops and
+scores a whole (padded) population of candidate CNNs.
+
+Reference behavior being reproduced per individual
+(sa_nsga_penalty.py:205-229; nsga_penalty.py:368-395):
+
+    compile(adam, sparse_categorical_crossentropy)
+    fit(X_train, y_train, validation_data=(X_val, y_val),
+        epochs=300, batch_size=64,
+        callbacks=[EarlyStopping(monitor='val_loss', patience=5,
+                                 restore_best_weights=?)])
+    -> validation accuracy, macro FPR from argmax predictions
+
+TPU-native shape:
+
+* The epoch loop is a device-side ``lax.while_loop`` that exits when every
+  model has early-stopped (or at the epoch cap); each epoch is a ``lax.scan``
+  over shuffled mini-batches with a ``vmap``'d value_and_grad + Adam update.
+* Early stopping is per-model masking: stopped lanes keep their parameters,
+  optimizer and BN state frozen (updates selected away), so the program stays
+  a single static-shape computation.
+* ``restore_best_weights`` keeps a best-params snapshot per model (selected
+  on val-loss improvement), doubling parameter memory only.
+* The val pass, the argmax predictions, the confusion matrix (computed as
+  one-hot^T @ one-hot — an MXU matmul) and macro-FPR all run on device; the
+  host receives one small fitness array per population.
+
+Keras-faithful details: Adam(lr=1e-3, eps=1e-7) ["adam" compile default],
+per-epoch reshuffling, strict-improvement early stopping with patience
+counted in consecutive non-improving epochs, BN momentum 0.99 / eps 1e-3,
+inverted dropout.
+
+Deviation (documented): Keras trains each model with its own shuffle order
+and a smaller final partial batch; here all models in a bucket share the
+shuffle order and padded batches use weighted-mean losses. Fitness is
+distributionally equivalent (SURVEY.md §7 "RNG discipline").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.supernet import BucketSpec, apply_model
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSettings:
+    epochs: int = 300
+    batch_size: int = 64
+    patience: int = 5
+    learning_rate: float = 1e-3
+    adam_eps: float = 1e-7  # keras Adam default epsilon
+    restore_best_weights: bool = True
+    eval_batch_size: int = 256
+
+
+def pad_dataset(x: np.ndarray, y: np.ndarray, batch_size: int):
+    """Pad (x, y) to a multiple of batch_size; returns (x, y, w) with w=0 on
+    padding rows."""
+    n = x.shape[0]
+    n_pad = (-n) % batch_size
+    w = np.ones(n, np.float32)
+    if n_pad:
+        x = np.concatenate([x, np.zeros((n_pad,) + x.shape[1:], x.dtype)])
+        y = np.concatenate([y, np.zeros((n_pad,), y.dtype)])
+        w = np.concatenate([w, np.zeros(n_pad, np.float32)])
+    return x, y, w
+
+
+def macro_fpr(y_true, y_pred, w, num_classes: int):
+    """Macro-averaged FPR from a weighted confusion matrix
+    (reference: nsga_penalty.py:351-364). Computed as a matmul so it lands on
+    the MXU under vmap."""
+    t = jax.nn.one_hot(y_true, num_classes, dtype=jnp.float32) * w[:, None]
+    p = jax.nn.one_hot(y_pred, num_classes, dtype=jnp.float32)
+    cm = t.T @ p
+    total = cm.sum()
+    col = cm.sum(axis=0)
+    row = cm.sum(axis=1)
+    diag = jnp.diagonal(cm)
+    fp = col - diag
+    tn = total - (row + col - diag)
+    denom = fp + tn
+    fpr_i = jnp.where(denom > 0, fp / jnp.maximum(denom, 1.0), 0.0)
+    return jnp.mean(fpr_i)
+
+
+def _tree_where(mask, a, b):
+    """Per-model selection over stacked pytrees; mask shape (P,)."""
+    def sel(x, y):
+        m = mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+def make_population_trainer(
+    spec: BucketSpec,
+    settings: TrainSettings,
+    num_classes: int,
+):
+    """Build the jittable population training function for one bucket.
+
+    Returned fn signature:
+        fn(params, state, flags, xtr, ytr, wtr, xval, yval, wval, key)
+          -> dict of per-model arrays:
+             acc_eval, acc_last, fpr, val_loss, best_val_loss, epochs_ran
+    ``params``/``state`` are stacked pytrees (leading pop axis), ``flags``
+    stacked flag arrays, datasets are shared across the population and must
+    be pre-padded to batch multiples (``pad_dataset``).
+    """
+    opt = optax.adam(settings.learning_rate, eps=settings.adam_eps)
+
+    def loss_fn(p, st, fl, xb, yb, wb, dkey):
+        logits, new_st = apply_model(
+            spec, p, st, fl, xb, train=True, dropout_key=dkey
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+        wsum = jnp.maximum(wb.sum(), 1.0)
+        return (ce * wb).sum() / wsum, new_st
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def eval_batch(p, st, fl, xb):
+        logits, _ = apply_model(spec, p, st, fl, xb, train=False)
+        return logits
+
+    v_eval = jax.vmap(eval_batch, in_axes=(0, 0, 0, None))
+
+    def evaluate(params, state, flags, xval, yval, wval):
+        """Scan the val set in eval-mode batches; returns per-model
+        (loss, acc, fpr). xval shape (n_batches, B, ...)."""
+        def body(carry, batch):
+            xb, yb, wb = batch
+            logits = v_eval(params, state, flags, xb)  # (P, B, C)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.broadcast_to(yb, logits.shape[:-1])
+            )
+            preds = jnp.argmax(logits, axis=-1)
+            correct = (preds == yb).astype(jnp.float32) * wb
+            loss_sum, correct_sum, w_sum, cms = carry
+            t = jax.nn.one_hot(yb, num_classes, dtype=jnp.float32) * wb[:, None]
+            pm = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+            cm = jnp.einsum("bc,pbk->pck", t, pm)
+            return (
+                loss_sum + (ce * wb).sum(axis=1),
+                correct_sum + correct.sum(axis=1),
+                w_sum + wb.sum(),
+                cms + cm,
+            ), None
+
+        P = flags["n_blocks"].shape[0]
+        init = (
+            jnp.zeros((P,)),
+            jnp.zeros((P,)),
+            jnp.zeros(()),
+            jnp.zeros((P, num_classes, num_classes)),
+        )
+        (loss_sum, correct_sum, w_sum, cms), _ = jax.lax.scan(
+            body, init, (xval, yval, wval)
+        )
+        loss = loss_sum / w_sum
+        acc = correct_sum / w_sum
+        # macro FPR from the accumulated confusion matrices
+        total = cms.sum(axis=(1, 2))
+        col = cms.sum(axis=1)
+        row = cms.sum(axis=2)
+        diag = jnp.diagonal(cms, axis1=1, axis2=2)
+        fp = col - diag
+        tn = total[:, None] - (row + col - diag)
+        denom = fp + tn
+        fpr = jnp.where(denom > 0, fp / jnp.maximum(denom, 1.0), 0.0).mean(axis=1)
+        return loss, acc, fpr
+
+    def train_fn(params, state, flags, xtr, ytr, wtr, xval, yval, wval, key):
+        P = flags["n_blocks"].shape[0]
+        n_train = xtr.shape[0]
+        B = settings.batch_size
+        n_batches = n_train // B
+
+        # reshape val set into eval batches once
+        EB = settings.eval_batch_size
+        n_vb = xval.shape[0] // EB
+        xval_b = xval.reshape((n_vb, EB) + xval.shape[1:])
+        yval_b = yval.reshape((n_vb, EB))
+        wval_b = wval.reshape((n_vb, EB))
+
+        opt_state = jax.vmap(opt.init)(params)
+
+        def train_epoch(params, state, opt_state, stopped, epoch_key, epoch):
+            perm = jax.random.permutation(epoch_key, n_train).reshape(
+                n_batches, B
+            )
+
+            def batch_step(carry, idx):
+                params, state, opt_state = carry
+                xb = xtr[idx]
+                yb = ytr[idx]
+                wb = wtr[idx]
+                dkeys = jax.random.split(
+                    jax.random.fold_in(epoch_key, idx[0]), P
+                )
+                (loss, new_state), grads = jax.vmap(
+                    grad_fn, in_axes=(0, 0, 0, None, None, None, 0)
+                )(params, state, flags, xb, yb, wb, dkeys)
+                updates, new_opt = jax.vmap(opt.update)(
+                    grads, opt_state, params
+                )
+                new_params = jax.vmap(optax.apply_updates)(params, updates)
+                # freeze stopped lanes
+                active = ~stopped
+                params = _tree_where(active, new_params, params)
+                state = _tree_where(active, new_state, state)
+                opt_state = _tree_where(active, new_opt, opt_state)
+                return (params, state, opt_state), loss
+
+            (params, state, opt_state), _ = jax.lax.scan(
+                batch_step, (params, state, opt_state), perm
+            )
+            return params, state, opt_state
+
+        def cond(carry):
+            epoch, stopped = carry["epoch"], carry["stopped"]
+            return (epoch < settings.epochs) & ~jnp.all(stopped)
+
+        def body(carry):
+            epoch = carry["epoch"]
+            epoch_key = jax.random.fold_in(key, epoch)
+            params, state, opt_state = train_epoch(
+                carry["params"],
+                carry["state"],
+                carry["opt_state"],
+                carry["stopped"],
+                epoch_key,
+                epoch,
+            )
+            val_loss, val_acc, _ = evaluate(
+                params, state, flags, xval_b, yval_b, wval_b
+            )
+            stopped = carry["stopped"]
+            active = ~stopped
+            improved = val_loss < carry["best_val_loss"]
+            take_best = active & improved
+            best_val_loss = jnp.where(
+                take_best, val_loss, carry["best_val_loss"]
+            )
+            best_params = _tree_where(take_best, params, carry["best_params"])
+            best_state = _tree_where(take_best, state, carry["best_state"])
+            wait = jnp.where(
+                active, jnp.where(improved, 0, carry["wait"] + 1), carry["wait"]
+            )
+            newly_stopped = active & (wait >= settings.patience)
+            # metrics at each model's final executed epoch (keras history[-1])
+            last_val_acc = jnp.where(active, val_acc, carry["last_val_acc"])
+            last_val_loss = jnp.where(active, val_loss, carry["last_val_loss"])
+            epochs_ran = jnp.where(active, epoch + 1, carry["epochs_ran"])
+            return {
+                "params": params,
+                "state": state,
+                "opt_state": opt_state,
+                "best_params": best_params,
+                "best_state": best_state,
+                "best_val_loss": best_val_loss,
+                "wait": wait,
+                "stopped": stopped | newly_stopped,
+                "last_val_acc": last_val_acc,
+                "last_val_loss": last_val_loss,
+                "epochs_ran": epochs_ran,
+                "epoch": epoch + 1,
+            }
+
+        carry0 = {
+            "params": params,
+            "state": state,
+            "opt_state": opt_state,
+            "best_params": params,
+            "best_state": state,
+            "best_val_loss": jnp.full((P,), jnp.inf),
+            "wait": jnp.zeros((P,), jnp.int32),
+            "stopped": jnp.zeros((P,), bool),
+            "last_val_acc": jnp.zeros((P,)),
+            "last_val_loss": jnp.full((P,), jnp.inf),
+            "epochs_ran": jnp.zeros((P,), jnp.int32),
+            "epoch": jnp.zeros((), jnp.int32),
+        }
+        carry = jax.lax.while_loop(cond, body, carry0)
+
+        if settings.restore_best_weights:
+            eval_params, eval_state = carry["best_params"], carry["best_state"]
+        else:
+            eval_params, eval_state = carry["params"], carry["state"]
+        val_loss, val_acc, fpr = evaluate(
+            eval_params, eval_state, flags, xval_b, yval_b, wval_b
+        )
+        return {
+            "acc_eval": val_acc,  # model.evaluate(X_val) accuracy
+            "acc_last": carry["last_val_acc"],  # history['val_accuracy'][-1]
+            "fpr": fpr,
+            "val_loss": val_loss,
+            "best_val_loss": carry["best_val_loss"],
+            "epochs_ran": carry["epochs_ran"],
+        }
+
+    return train_fn

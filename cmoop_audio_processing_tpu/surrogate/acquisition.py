@@ -1,0 +1,74 @@
+"""MOBO surrogate stack and acquisition functions.
+
+Reference semantics (mobo_penalty.py:252-287):
+
+* One GP per output column: Matern(nu=2.5), normalize_y=True, default
+  single-start hyperparameter optimization over length_scale only.
+* penalized_acquisition over candidate vectors in [0,1]^6:
+  -sum_i(mu_f_i + lam * mu_CV) — maximize the negative penalized sum.
+
+The candidate batch (500 x 6) is scored as ONE device program: all GP
+predicts are matmuls against cached Cholesky solves.
+
+LCB (mu - k*sigma) used by the Lamarckian local search
+(sa_nsga_local.py:368-371) also lives here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import numpy as np
+
+from .gp import GPConfig, GPState, fit_gp, predict_gp
+
+MOBO_GP_CONFIG = GPConfig(
+    nu=2.5,
+    with_constant=False,
+    with_noise=False,
+    n_restarts=1,  # sklearn default: single start from length_scale=1.0
+    steps=150,
+)
+
+
+def train_gps(x: np.ndarray, y: np.ndarray, seed: int = 0) -> List[GPState]:
+    """One GP per column of y (mobo_penalty.py:252-263)."""
+    y = np.atleast_2d(np.asarray(y, np.float64))
+    if y.shape[0] == np.asarray(x).shape[0] and y.ndim == 2:
+        cols = y.shape[1]
+    else:
+        y = y.T
+        cols = y.shape[1]
+    models = []
+    for dim in range(cols):
+        key = jax.random.fold_in(jax.random.key(seed), dim)
+        models.append(
+            fit_gp(x, y[:, dim], MOBO_GP_CONFIG, key, normalize_y=True)
+        )
+    return models
+
+
+def predict_gps(models: Sequence[GPState], x: np.ndarray) -> np.ndarray:
+    """(n_samples, n_models) predicted means (mobo_penalty.py:265-273)."""
+    preds = [predict_gp(m, x, MOBO_GP_CONFIG) for m in models]
+    return np.stack(preds, axis=1)
+
+
+def penalized_acquisition(
+    x_candidates: np.ndarray,
+    obj_gps: Sequence[GPState],
+    cv_gp: GPState,
+    lam: float,
+) -> np.ndarray:
+    """Negative penalized sum (maximize) over candidates
+    (mobo_penalty.py:275-287)."""
+    obj_mu = predict_gps(obj_gps, x_candidates)  # (n, n_obj)
+    cv_mu = predict_gps([cv_gp], x_candidates)[:, 0]
+    penalized = obj_mu + lam * cv_mu.reshape(-1, 1)
+    return -np.sum(penalized, axis=1)
+
+
+def lcb(means: np.ndarray, stds: np.ndarray, k: float = 1.0) -> np.ndarray:
+    """Lower confidence bound mu - k*sigma (sa_nsga_local.py:368-371)."""
+    return np.asarray(means) - k * np.asarray(stds)
