@@ -53,6 +53,9 @@ class PopulationEvaluator:
         mesh: Optional["jax.sharding.Mesh"] = None,
         donate: bool = True,
     ):
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = train_cfg
         self.mesh = mesh
         self.settings = TrainSettings(

@@ -1,0 +1,122 @@
+"""Fused Pallas TPU kernel for the log-mel frontend hot path.
+
+One kernel instance produces a tile of TF frames for one batch element:
+
+    (TF, n_fft) frame tile -> (n_fft, 2*Kp) windowed-DFT GEMM on the MXU
+      -> power = re^2 + im^2 on the VPU
+      -> (TF, Kp) @ (Kp, Mp) mel GEMM on the MXU
+      -> log on the VPU -> out tile
+
+Framing itself stays in XLA (a strided gather): Mosaic only permits
+dynamic/lane-misaligned VMEM slicing at 128-multiples, and audio hops (160)
+are not lane-aligned — two earlier in-kernel framing designs (per-frame
+dynamic slices; one aligned chunk + static sub-slices) both hit Mosaic
+relayout limits. What the fusion buys is that the DFT projection and the
+power spectrogram — the two largest intermediates, (T, 2K) and (T, K) per
+sample — never exist in HBM; XLA's own fusion cannot do this across two
+GEMMs with an elementwise stage in between.
+
+All operand shapes are padded to lane width (128): padded DFT columns
+produce zero power, and padded mel rows multiply those zeros, so results are
+bit-consistent with the unpadded math.
+
+Supported log modes here: 'natural' (ln(mel+1e-6)) and raw dB
+(10*log10(max(mel, 1e-10))); the per-sample-max referenced dB variant needs
+a global reduction and is handled by the wrapper as a cheap epilogue.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .features import FrontendConfig, _frame, dft_matrices, mel_matrix
+
+LANE = 128
+FRAME_TILE = 8  # frames per kernel instance (f32 sublane-aligned)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _padded_operands(cfg: FrontendConfig):
+    """Lane-padded [cos|sin] DFT and mel matrices (host, cached by config)."""
+    kp = _round_up(cfg.n_bins, LANE)
+    mp = _round_up(cfg.n_mels, LANE)
+    w = dft_matrices(cfg)  # (n_fft, 2*n_bins): [cos | sin]
+    cos, sin = np.split(w, 2, axis=1)
+    wp = np.zeros((cfg.n_fft, 2 * kp), np.float32)
+    wp[:, : cfg.n_bins] = cos
+    wp[:, kp : kp + cfg.n_bins] = sin
+    m = mel_matrix(cfg)  # (n_mels, n_bins)
+    mp_mat = np.zeros((kp, mp), np.float32)
+    mp_mat[: cfg.n_bins, : cfg.n_mels] = m.T
+    return wp, mp_mat, kp, mp
+
+
+def _kernel(frames_ref, w_ref, mel_ref, out_ref, *, kp, natural_log):
+    frames = frames_ref[0]  # (TF, n_fft)
+    proj = jnp.dot(
+        frames, w_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re = proj[:, :kp]
+    im = proj[:, kp:]
+    power = re * re + im * im  # (TF, Kp); padded cols are exactly 0
+    mel = jnp.dot(
+        power, mel_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if natural_log:
+        out_ref[0] = jnp.log(mel + 1e-6)
+    else:
+        out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def log_mel_fused(
+    y: jnp.ndarray, cfg: FrontendConfig = FrontendConfig(), interpret: bool | None = None
+) -> jnp.ndarray:
+    """(batch, samples) -> (batch, n_frames, n_mels) fused log-mel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames = _frame(y.astype(jnp.float32), cfg)  # (B, T, n_fft) via XLA gather
+    b, n_frames, _ = frames.shape
+    t_pad = _round_up(n_frames, FRAME_TILE)
+    frames = jnp.pad(frames, ((0, 0), (0, t_pad - n_frames), (0, 0)))
+
+    wp, mp_mat, kp, mp = _padded_operands(cfg)
+    natural = cfg.log == "natural"
+
+    out = pl.pallas_call(
+        partial(_kernel, kp=kp, natural_log=natural),
+        grid=(b, t_pad // FRAME_TILE),
+        in_specs=[
+            pl.BlockSpec(
+                (1, FRAME_TILE, cfg.n_fft), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, FRAME_TILE, mp), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, mp), jnp.float32),
+        interpret=interpret,
+    )(frames, jnp.asarray(wp), jnp.asarray(mp_mat))
+
+    out = out[:, :n_frames, : cfg.n_mels]
+    if cfg.log == "db" and cfg.top_db is not None:
+        # per-sample max-referenced dB epilogue (cheap VPU work in XLA)
+        ref_db = jnp.max(out, axis=(1, 2), keepdims=True)
+        out = out - ref_db
+        out = jnp.maximum(out, jnp.max(out, axis=(1, 2), keepdims=True) - cfg.top_db)
+    return out

@@ -175,15 +175,19 @@ def init_params(key, spec: BucketSpec, genome: Genome):
 # ---------------------------------------------------------------------------
 
 def _conv2d(x, p, stride=1, dtype=jnp.float32):
+    # Mixed precision: inputs/weights in compute dtype (bfloat16 on TPU —
+    # the MXU accumulates in f32 internally), bias-add and everything
+    # downstream in f32. preferred_element_type=f32 is avoided deliberately:
+    # its conv transpose rule produces mismatched cotangent dtypes under
+    # autodiff in this JAX version.
     y = lax.conv_general_dilated(
         x.astype(dtype),
         p["w"].astype(dtype),
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y.astype(jnp.float32) + p["b"]
 
 
 def _maxpool2(x):

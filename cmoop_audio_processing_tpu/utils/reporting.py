@@ -1,0 +1,143 @@
+"""Run reporting: the reference's CSV/Excel output contract.
+
+Schemas (the compatibility contract, SURVEY.md §5 "Metrics/logging"):
+
+* per-generation rows {Generation, Accuracy, Size_MB, FPR, CV, filters,
+  kernel_size, use_bn, residual_blocks, fc_layers, use_dropout}
+  (sa_nsga_penalty.py:606-612)
+* periodic Pareto CSV every N generations (nsga_penalty.py:737-763)
+* final Pareto CSV {Accuracy, Size_MB, FPR, **hparams}
+  (nsga_penalty.py:800-821; MOBO adds CV, mobo_penalty.py:513-528)
+* all-generations Excel workbook, one sheet per generation
+  (nsga_penalty.py:785-788) — written as sheet-per-CSV files when no Excel
+  engine is installed (this image lacks openpyxl), plus a combined CSV.
+
+Also emits a structured JSONL timing/progress log (the reference's ad-hoc
+perf_counter prints, sa_nsga_penalty.py:537-542,602-603, made machine-
+readable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..core.records import Individual, generation_row, pareto_row
+
+
+def _excel_available() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+
+class RunReporter:
+    def __init__(self, output_dir: str, run_name: str, periodic_every: int = 5):
+        self.dir = os.path.join(output_dir, run_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.run_name = run_name
+        self.periodic_every = periodic_every
+        self.gen_dfs: List[pd.DataFrame] = []
+        self._log_path = os.path.join(self.dir, "progress.jsonl")
+        self._t0 = time.perf_counter()
+
+    # -- structured progress log ----------------------------------------------
+
+    def log(self, event: str, **fields) -> None:
+        rec = {"t": time.perf_counter() - self._t0, "event": event, **fields}
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(rec, default=float) + "\n")
+
+    # -- per-generation -------------------------------------------------------
+
+    def record_generation(self, gen: int, pop_data: Sequence[Individual]) -> pd.DataFrame:
+        df = pd.DataFrame([generation_row(ind, gen) for ind in pop_data])
+        self.gen_dfs.append(df)
+        feasibles = [ind for ind in pop_data if ind["CV"] == 0]
+        self.log(
+            "generation",
+            gen=gen,
+            frac_feasible=len(feasibles) / max(len(pop_data), 1),
+            avg_cv=float(np.mean([ind["CV"] for ind in pop_data])) if pop_data else 0.0,
+        )
+        return df
+
+    def periodic_pareto(
+        self, gen: int, pareto_set: Sequence[Individual], include_cv: bool = False
+    ) -> Optional[str]:
+        """Write the every-N-generations Pareto CSV
+        (nsga_penalty.py:738-763: filename pattern *_iteration_{gen+1}.csv)."""
+        if (gen + 1) % self.periodic_every != 0:
+            return None
+        path = os.path.join(self.dir, f"pareto_iteration_{gen + 1}.csv")
+        pd.DataFrame(
+            [pareto_row(ind, include_cv) for ind in pareto_set]
+        ).to_csv(path, index=False)
+        return path
+
+    # -- final artifacts ------------------------------------------------------
+
+    def final_pareto(
+        self, pareto_set: Sequence[Individual], include_cv: bool = False,
+        filename: str = "final_pareto.csv",
+    ) -> str:
+        path = os.path.join(self.dir, filename)
+        pd.DataFrame(
+            [pareto_row(ind, include_cv) for ind in pareto_set]
+        ).to_csv(path, index=False)
+        self.log("final_pareto", n=len(pareto_set), path=path)
+        return path
+
+    def all_generations(self, filename: str = "all_generations.xlsx") -> str:
+        """Excel workbook with one sheet per generation; CSV fallback when no
+        Excel engine exists (sheet-per-file + combined CSV)."""
+        if _excel_available():
+            path = os.path.join(self.dir, filename)
+            with pd.ExcelWriter(path) as writer:
+                for i, df in enumerate(self.gen_dfs):
+                    df.to_excel(writer, sheet_name=f"Gen_{i}", index=False)
+            return path
+        # fallback: directory of per-generation CSVs + combined
+        sheets_dir = os.path.join(self.dir, "all_generations")
+        os.makedirs(sheets_dir, exist_ok=True)
+        for i, df in enumerate(self.gen_dfs):
+            df.to_csv(os.path.join(sheets_dir, f"Gen_{i}.csv"), index=False)
+        combined = os.path.join(self.dir, "all_generations.csv")
+        if self.gen_dfs:
+            pd.concat(self.gen_dfs, ignore_index=True).to_csv(combined, index=False)
+        return sheets_dir
+
+
+class StageTimer:
+    """Context-manager stage timing feeding the reporter's JSONL log — the
+    structured equivalent of the reference's bracketing perf_counter prints
+    (sa_nsga_local.py:452-467)."""
+
+    def __init__(self, reporter: Optional[RunReporter], stage: str, **fields):
+        self.reporter = reporter
+        self.stage = stage
+        self.fields = fields
+        self.seconds: float = 0.0
+
+    def __enter__(self):
+        self._t = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.perf_counter() - self._t
+        if self.reporter is not None:
+            self.reporter.log("stage", stage=self.stage, seconds=self.seconds, **self.fields)
+        return False

@@ -14,8 +14,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# actually forces the CPU backend (tests must not contend for the real chip,
+# and the virtual 8-device mesh only exists on CPU).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+from cmoop_audio_processing_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()  # reuse compiled programs across test sessions
 
 
 @pytest.fixture(scope="session")
