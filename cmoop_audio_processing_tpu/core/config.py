@@ -74,6 +74,7 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay f32
     bucket_genes: Tuple[str, ...] = ("filters", "kernel_size")
     max_models_per_program: int = 16  # pad bucket sub-populations to <= this
+    parallel_impl: str = "grouped"  # "grouped" (one grouped-conv net) | "vmap"
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,10 @@ class PopulationEvaluator:
             patience=train_cfg.patience,
             learning_rate=train_cfg.learning_rate,
             restore_best_weights=train_cfg.restore_best_weights,
+            # with a device mesh the population axis shards over chips, which
+            # requires per-model vmap lanes; grouped-conv (pop merged into
+            # channels) is the single-chip MXU-utilization strategy
+            parallel_impl="vmap" if mesh is not None else train_cfg.parallel_impl,
         )
         # pre-pad datasets once; device transfer happens lazily on first use
         xtr, ytr, wtr = pad_dataset(

@@ -59,6 +59,13 @@ class TrainSettings:
     adam_eps: float = 1e-7  # keras Adam default epsilon
     restore_best_weights: bool = True
     eval_batch_size: int = 256
+    # Population execution strategy:
+    #   "grouped" — one grouped-conv network evaluates the whole population
+    #     (models/grouped.py): the MXU sees pop*filters output channels, the
+    #     right choice for TinyML-sized candidates.
+    #   "vmap" — classic vmapped per-model program; kept as the semantic
+    #     reference and for population sizes where grouping overflows VMEM.
+    parallel_impl: str = "grouped"
 
 
 def pad_dataset(x: np.ndarray, y: np.ndarray, batch_size: int):
@@ -117,29 +124,51 @@ def make_population_trainer(
     be pre-padded to batch multiples (``pad_dataset``).
     """
     opt = optax.adam(settings.learning_rate, eps=settings.adam_eps)
+    grouped = settings.parallel_impl == "grouped"
+    if grouped:
+        from ..models.grouped import apply_population
 
-    def loss_fn(p, st, fl, xb, yb, wb, dkey):
-        logits, new_st = apply_model(
-            spec, p, st, fl, xb, train=True, dropout_key=dkey
-        )
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+    def pop_loss(params, state, flags, xb, yb, wb, dkey):
+        """Summed per-model weighted CE. Parameters are disjoint across
+        models, so grad(sum) is each model's own gradient — one backward
+        pass serves the whole population."""
+        if grouped:
+            logits, new_state = apply_population(
+                spec, params, state, flags, xb, train=True, dropout_key=dkey
+            )
+        else:
+            P = flags["n_blocks"].shape[0]
+            dkeys = jax.random.split(dkey, P)
+            logits, new_state = jax.vmap(
+                lambda p, s, f, k: apply_model(
+                    spec, p, s, f, xb, train=True, dropout_key=k
+                ),
+                in_axes=(0, 0, 0, 0),
+            )(params, state, flags, dkeys)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.broadcast_to(yb, logits.shape[:-1])
+        )  # (P, B)
         wsum = jnp.maximum(wb.sum(), 1.0)
-        return (ce * wb).sum() / wsum, new_st
+        per_model = (ce * wb).sum(axis=1) / wsum
+        return per_model.sum(), new_state
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(pop_loss, has_aux=True)
 
-    def eval_batch(p, st, fl, xb):
-        logits, _ = apply_model(spec, p, st, fl, xb, train=False)
-        return logits
-
-    v_eval = jax.vmap(eval_batch, in_axes=(0, 0, 0, None))
+    def pop_eval(params, state, flags, xb):
+        """(P, B, C) eval-mode logits for the whole population."""
+        if grouped:
+            logits, _ = apply_population(spec, params, state, flags, xb, train=False)
+            return logits
+        return jax.vmap(
+            lambda p, s, f: apply_model(spec, p, s, f, xb, train=False)[0]
+        )(params, state, flags)
 
     def evaluate(params, state, flags, xval, yval, wval):
         """Scan the val set in eval-mode batches; returns per-model
         (loss, acc, fpr). xval shape (n_batches, B, ...)."""
         def body(carry, batch):
             xb, yb, wb = batch
-            logits = v_eval(params, state, flags, xb)  # (P, B, C)
+            logits = pop_eval(params, state, flags, xb)  # (P, B, C)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.broadcast_to(yb, logits.shape[:-1])
             )
@@ -204,12 +233,10 @@ def make_population_trainer(
                 xb = xtr[idx]
                 yb = ytr[idx]
                 wb = wtr[idx]
-                dkeys = jax.random.split(
-                    jax.random.fold_in(epoch_key, idx[0]), P
+                dkey = jax.random.fold_in(epoch_key, idx[0])
+                (loss, new_state), grads = grad_fn(
+                    params, state, flags, xb, yb, wb, dkey
                 )
-                (loss, new_state), grads = jax.vmap(
-                    grad_fn, in_axes=(0, 0, 0, None, None, None, 0)
-                )(params, state, flags, xb, yb, wb, dkeys)
                 updates, new_opt = jax.vmap(opt.update)(
                     grads, opt_state, params
                 )

@@ -1,0 +1,110 @@
+"""CLI integration tests (fake evaluator; file-level contracts)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cmoop_audio_processing_tpu.cli.compare import main as compare_main
+from cmoop_audio_processing_tpu.cli.extract_features import main as extract_main
+from cmoop_audio_processing_tpu.cli.main import (
+    build_parser,
+    config_from_args,
+    main as cli_main,
+)
+
+
+def test_preset_override_flow():
+    args = build_parser().parse_args(
+        ["--preset", "sa_nsga_penalty", "--seed", "7", "--max-gen", "4",
+         "--pop-size", "6", "--source", "synthetic"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.search.seed == 7
+    assert cfg.search.max_gen == 4
+    assert cfg.search.pop_size == 6
+    assert cfg.search.infill_percent == 0.2  # preserved from preset
+    assert cfg.train.template == "B"
+
+
+def test_cli_fake_run_and_resume(tmp_path, capsys):
+    argv = ["--fake-eval", "--max-gen", "3", "--pop-size", "6",
+            "--out", str(tmp_path), "--seed", "2"]
+    assert cli_main(argv, preset="acc_fpr_nsga_1") == 0
+    run_dir = tmp_path / "acc_fpr_nsga_1"
+    assert (run_dir / "final_pareto.csv").exists()
+    assert (run_dir / "checkpoint.json").exists()
+    ck = json.loads((run_dir / "checkpoint.json").read_text())
+    assert ck["generation"] == 2
+    # resume with a longer horizon continues from gen 3
+    assert cli_main(argv[:2] + ["5"] + argv[3:] + ["--resume"],
+                    preset="acc_fpr_nsga_1") == 0
+    ck2 = json.loads((run_dir / "checkpoint.json").read_text())
+    assert ck2["generation"] == 4
+
+
+def test_cli_mobo_preset(tmp_path):
+    argv = ["--fake-eval", "--max-gen", "2", "--out", str(tmp_path),
+            "--seed", "3"]
+    assert cli_main(argv, preset="mobo_penalty") == 0
+    assert (tmp_path / "mobo_penalty" / "mobo_pareto.csv").exists()
+
+
+def test_compare_cli(tmp_path, capsys):
+    for name in ("a", "b"):
+        rng = np.random.default_rng(hash(name) % 100)
+        pd.DataFrame(
+            {
+                "Accuracy": 0.9 + 0.05 * rng.random(5),
+                "Size_MB": 0.5 + rng.random(5),
+                "FPR": 0.05 * rng.random(5),
+            }
+        ).to_csv(tmp_path / f"{name}.csv", index=False)
+    out = tmp_path / "report.json"
+    rc = compare_main(
+        [
+            "--front", f"A={tmp_path/'a.csv'}",
+            "--front", f"B={tmp_path/'b.csv'}",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert set(rep["hypervolume"]) == {"A", "B"}
+    text = capsys.readouterr().out
+    assert "Hypervolume (A):" in text
+    assert "Coverage (C-Metric):" in text
+
+
+def test_extract_features_cli(tmp_path):
+    from cmoop_audio_processing_tpu.frontend.audio_io import save_wav
+
+    rng = np.random.default_rng(0)
+    for cls in ("yes", "no"):
+        d = tmp_path / "wavs" / cls
+        d.mkdir(parents=True)
+        for i in range(6):
+            freq = 300 if cls == "yes" else 900
+            t = np.arange(8000) / 16000
+            y = 0.4 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(8000)
+            save_wav(str(d / f"{i}.wav"), y.astype(np.float32), 16000)
+
+    out = tmp_path / "npy"
+    rc = extract_main(
+        ["--wav-dir", str(tmp_path / "wavs"), "--out", str(out),
+         "--layout", "npy", "--duration", "0.5", "--split", "0.5", "0.25", "0.25"]
+    )
+    assert rc == 0
+    x = np.load(out / "X_train.npy")
+    y = np.load(out / "y_train.npy")
+    assert x.shape == (6, 51, 40)  # 0.5s @ hop 160 -> 51 frames, 40 mels
+    assert set(np.unique(y)) <= {0, 1}
+
+    # the emitted layout round-trips through the standard data pipeline
+    from cmoop_audio_processing_tpu.core.config import DataConfig
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+
+    data = prepare_dataset(DataConfig(source="npy", path=str(out)))
+    assert data["x_train"].shape[-1] == 1
