@@ -18,8 +18,7 @@ SURVEY.md §5 gap-fill).
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..core.config import SearchConfig
 from ..core.genome import Genome

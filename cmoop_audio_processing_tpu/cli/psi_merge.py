@@ -1,0 +1,75 @@
+"""PSI stage-1 merge: combine bi-objective Pareto fronts into the stage-2
+seed file.
+
+The reference's two-stage (PSI) pipeline runs three bi-objective NSGA-II
+scripts (acc_size / acc_fpr / size_fpr) and then MANUALLY merges their
+exported fronts into Final.xlsx, which the stage-2 scripts read
+(SURVEY.md §3.4: "manual merge into Final.xlsx — NOT in repo"). This command
+automates that missing step:
+
+    python -m cmoop_audio_processing_tpu.cli.psi_merge \
+        results/acc_size_nsga_1/final_pareto.csv \
+        results/acc_fpr_nsga_1/final_pareto.csv \
+        results/size_fpr_nsga_1/final_pareto.csv \
+        --out Final.csv [--dedup] [--limit 15]
+
+The merged file keeps the stage-2 loader's expected columns (Accuracy,
+Size_MB, FPR + the six genome columns; psi_init_sa_nsga.py:365-379).
+``--dedup`` drops duplicate genomes keeping the first occurrence; ``--limit``
+truncates to the stage-2 population size. Writes .xlsx when an Excel engine
+is available and the filename asks for it, else CSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import pandas as pd
+
+from ..core.genome import GENE_ORDER
+
+REQUIRED = ["Accuracy", "Size_MB", "FPR", *GENE_ORDER]
+
+
+def merge(paths, dedup: bool = False, limit: int | None = None) -> pd.DataFrame:
+    frames = []
+    for path in paths:
+        df = pd.read_excel(path) if path.endswith((".xlsx", ".xls")) else pd.read_csv(path)
+        missing = [c for c in REQUIRED if c not in df.columns]
+        if missing:
+            raise ValueError(f"{path} missing columns {missing}")
+        frames.append(df[REQUIRED])
+    out = pd.concat(frames, ignore_index=True)
+    if dedup:
+        out = out.drop_duplicates(subset=list(GENE_ORDER), keep="first")
+    if limit is not None:
+        out = out.head(limit)
+    return out.reset_index(drop=True)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cmoop-psi-merge")
+    p.add_argument("fronts", nargs="+", help="stage-1 final Pareto files")
+    p.add_argument("--out", required=True)
+    p.add_argument("--dedup", action="store_true")
+    p.add_argument("--limit", type=int)
+    args = p.parse_args(argv)
+
+    df = merge(args.fronts, args.dedup, args.limit)
+    if args.out.endswith((".xlsx", ".xls")):
+        try:
+            df.to_excel(args.out, index=False)
+        except ImportError:
+            csv_out = args.out.rsplit(".", 1)[0] + ".csv"
+            df.to_csv(csv_out, index=False)
+            print(f"no Excel engine installed; wrote {csv_out} instead")
+            return 0
+    else:
+        df.to_csv(args.out, index=False)
+    print(f"merged {len(df)} stage-1 solutions -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,6 +75,11 @@ class TrainConfig:
     bucket_genes: Tuple[str, ...] = ("filters", "kernel_size")
     max_models_per_program: int = 16  # pad bucket sub-populations to <= this
     parallel_impl: str = "grouped"  # "grouped" (one grouped-conv net) | "vmap"
+    # Epochs between early-stop lane compactions (0 = off). Compaction re-
+    # launches survivors in smaller programs; worthwhile for large per-
+    # bucket populations / long epoch budgets, ~neutral at pop<=4 where
+    # per-chunk sync overhead cancels the savings (bench measurements).
+    compaction_chunk: int = 0
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,9 @@ reference-faithful analogue of a fake backend).
 
 from __future__ import annotations
 
+import dataclasses
 import time
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -29,8 +31,13 @@ import numpy as np
 from ..core.config import TrainConfig
 from ..core.genome import Genome, genome_key
 from ..models.genome_arch import model_size_mb
-from ..models.supernet import BucketSpec, init_population
-from .trainer import TrainSettings, make_population_trainer, pad_dataset
+from ..models.supernet import BucketSpec, init_population_keys
+from .trainer import (
+    TrainSettings,
+    gather_lanes,
+    make_population_trainer,
+    pad_dataset,
+)
 
 Fitness = Tuple[float, float, float]  # (acc, size_mb, fpr)
 
@@ -68,6 +75,7 @@ class PopulationEvaluator:
             # requires per-model vmap lanes; grouped-conv (pop merged into
             # channels) is the single-chip MXU-utilization strategy
             parallel_impl="vmap" if mesh is not None else train_cfg.parallel_impl,
+            compaction_chunk=train_cfg.compaction_chunk,
         )
         # pre-pad datasets once; device transfer happens lazily on first use
         xtr, ytr, wtr = pad_dataset(
@@ -99,10 +107,18 @@ class PopulationEvaluator:
         )
 
     def _get_trainer(self, spec: BucketSpec, pop: int):
+        """Jitted PopulationTrainer per (bucket, pop). pop is part of the key
+        only to keep one jit cache entry per program shape; the underlying
+        builder is shape-polymorphic."""
         cache_key = (spec, pop)
         if cache_key not in self._compiled:
-            fn = make_population_trainer(spec, self.settings, self.cfg.num_classes)
-            self._compiled[cache_key] = jax.jit(fn)
+            t = make_population_trainer(spec, self.settings, self.cfg.num_classes)
+            self._compiled[cache_key] = dataclasses.replace(
+                t,
+                train=jax.jit(t.train),
+                run_chunk=jax.jit(t.run_chunk),
+                finalize=jax.jit(t.finalize),
+            )
         return self._compiled[cache_key]
 
     # -- evaluation -----------------------------------------------------------
@@ -150,23 +166,94 @@ class PopulationEvaluator:
 
     def _run_bucket(self, spec: BucketSpec, padded: List[Genome], seed: int):
         pop = len(padded)
-        init_key = jax.random.fold_in(jax.random.key(seed), self._eval_count)
-        params, state, flags = init_population(init_key, spec, padded)
+        # Per-genome init keys are derived from (seed, genome identity), NOT
+        # from evaluation order: a genome's model instance is reproducible
+        # regardless of how the population is bucketed/batched, so population
+        # and serial execution train identical models (and re-evaluations are
+        # idempotent, matching the surrogate archive's keep-last dedup).
+        init_keys = [
+            jax.random.fold_in(
+                jax.random.key(seed), zlib.crc32(str(genome_key(g)).encode())
+            )
+            for g in padded
+        ]
+        params, state, flags = init_population_keys(init_keys, spec, padded)
         if self.mesh is not None:
             params, state, flags = self._shard_population(params, state, flags)
-        trainer = self._get_trainer(spec, pop)
+        # shuffle/dropout stream depends only on the run seed, keeping
+        # re-evaluations idempotent (shared across a bucket's lanes; Keras
+        # is unseeded here, so any fixed stream is distributionally faithful)
+        train_key = jax.random.fold_in(jax.random.key(seed), 1)
         xtr, ytr, wtr = self._train
         xval, yval, wval = self._val
-        out = trainer(
-            params, state, flags, xtr, ytr, wtr, xval, yval, wval,
-            jax.random.fold_in(init_key, 1),
-        )
         acc_key = "acc_eval" if self.cfg.accuracy_from == "best" else "acc_last"
-        return {
-            "acc": np.asarray(out[acc_key]),
-            "fpr": np.asarray(out["fpr"]),
-            "epochs": np.asarray(out["epochs_ran"]),
-        }
+
+        chunk = self.settings.compaction_chunk
+        if chunk <= 0 or self.mesh is not None:
+            # one-shot (compaction would fight the mesh's pop sharding)
+            trainer = self._get_trainer(spec, pop)
+            out = trainer.train(
+                params, state, flags, xtr, ytr, wtr, xval, yval, wval, train_key
+            )
+            return {
+                "acc": np.asarray(out[acc_key]),
+                "fpr": np.asarray(out["fpr"]),
+                "epochs": np.asarray(out["epochs_ran"]),
+            }
+
+        # Chunked execution with lane compaction: between chunks, lanes whose
+        # models early-stopped are finalized and dropped, and the survivors
+        # continue in a half-or-smaller program — the lockstep while_loop
+        # otherwise bills every lane for the SLOWEST model's epochs.
+        trainer = self._get_trainer(spec, pop)
+        carry = trainer.init_carry(params, state, flags)
+        lane_map = list(range(pop))  # current lane -> original padded index
+        acc = np.zeros(pop)
+        fpr = np.zeros(pop)
+        epochs = np.zeros(pop, np.int32)
+
+        def record(out, lanes):
+            for li in lanes:
+                oi = lane_map[li]
+                if oi < 0:  # compaction padding lane
+                    continue
+                acc[oi] = out[acc_key][li]
+                fpr[oi] = out["fpr"][li]
+                epochs[oi] = out["epochs_ran"][li]
+
+        while True:
+            epoch = int(carry["epoch"])
+            target_epoch = min(epoch + chunk, self.settings.epochs)
+            carry = trainer.run_chunk(
+                carry, xtr, ytr, wtr, xval, yval, wval, train_key,
+                jnp.asarray(target_epoch, jnp.int32),
+            )
+            stopped = np.asarray(carry["stopped"])
+            done = bool(stopped.all()) or int(carry["epoch"]) >= self.settings.epochs
+            cur_pop = len(lane_map)
+            active = np.nonzero(~stopped)[0]
+            target_pop = _next_pow2(max(len(active), 1))
+            if done:
+                out = jax.tree.map(
+                    np.asarray, trainer.finalize(carry, xval, yval, wval)
+                )
+                record(out, range(cur_pop))
+                break
+            if target_pop <= cur_pop // 2:
+                out = jax.tree.map(
+                    np.asarray, trainer.finalize(carry, xval, yval, wval)
+                )
+                record(out, np.nonzero(stopped)[0])
+                keep = list(active) + [int(active[0])] * (target_pop - len(active))
+                carry = gather_lanes(carry, np.asarray(keep))
+                lane_map = [lane_map[i] for i in active] + [-1] * (
+                    target_pop - len(active)
+                )
+                trainer = self._get_trainer(spec, target_pop)
+
+        # padding lanes introduced by compaction map to -1; their slots in
+        # acc/fpr were never written for an original index, by construction
+        return {"acc": acc, "fpr": fpr, "epochs": epochs}
 
     def _shard_population(self, params, state, flags):
         """Shard the population axis over the mesh's 'pop' axis; data stays

@@ -66,6 +66,13 @@ class TrainSettings:
     #   "vmap" — classic vmapped per-model program; kept as the semantic
     #     reference and for population sizes where grouping overflows VMEM.
     parallel_impl: str = "grouped"
+    # Epochs per run_chunk call before the evaluator may compact
+    # early-stopped lanes into a smaller program; 0 = one-shot (no
+    # compaction). Should comfortably exceed patience so stopping
+    # decisions stabilize between compactions. Off by default: at the
+    # reference's pop-per-bucket sizes (<=4) the savings cancel against
+    # per-chunk sync overhead; enable for big buckets / long budgets.
+    compaction_chunk: int = 0
 
 
 def pad_dataset(x: np.ndarray, y: np.ndarray, batch_size: int):
@@ -106,6 +113,36 @@ def _tree_where(mask, a, b):
         return jnp.where(m, x, y)
 
     return jax.tree.map(sel, a, b)
+
+
+def gather_lanes(carry: Dict, lane_idx: np.ndarray) -> Dict:
+    """Compact a training carry to the given lanes (all leaves carry a
+    leading pop axis except the scalar epoch counter)."""
+    idx = jnp.asarray(lane_idx)
+
+    def take(x):
+        if getattr(x, "ndim", 0) == 0:
+            return x
+        return jnp.take(x, idx, axis=0)
+
+    return jax.tree.map(take, carry)
+
+
+@dataclasses.dataclass(frozen=True)
+class PopulationTrainer:
+    """Compiled population-training programs for one bucket.
+
+    ``train`` is the one-shot path; ``init_carry``/``run_chunk``/``finalize``
+    expose chunked execution so the evaluator can compact early-stopped
+    lanes out of the program between chunks (engine/evaluator.py) — without
+    compaction the lockstep while_loop runs every lane until the SLOWEST
+    model stops.
+    """
+
+    train: "callable"
+    init_carry: "callable"
+    run_chunk: "callable"
+    finalize: "callable"
 
 
 def make_population_trainer(
@@ -208,22 +245,47 @@ def make_population_trainer(
         fpr = jnp.where(denom > 0, fp / jnp.maximum(denom, 1.0), 0.0).mean(axis=1)
         return loss, acc, fpr
 
-    def train_fn(params, state, flags, xtr, ytr, wtr, xval, yval, wval, key):
+    def _val_batches(xval, yval, wval):
+        EB = settings.eval_batch_size
+        n_vb = xval.shape[0] // EB
+        return (
+            xval.reshape((n_vb, EB) + xval.shape[1:]),
+            yval.reshape((n_vb, EB)),
+            wval.reshape((n_vb, EB)),
+        )
+
+    def init_carry(params, state, flags):
+        """Initial training state; ``flags`` live inside the carry so lane
+        compaction gathers everything in one place."""
         P = flags["n_blocks"].shape[0]
+        return {
+            "params": params,
+            "state": state,
+            "opt_state": jax.vmap(opt.init)(params),
+            "flags": flags,
+            "best_params": params,
+            "best_state": state,
+            "best_val_loss": jnp.full((P,), jnp.inf),
+            "wait": jnp.zeros((P,), jnp.int32),
+            "stopped": jnp.zeros((P,), bool),
+            "last_val_acc": jnp.zeros((P,)),
+            "last_val_loss": jnp.full((P,), jnp.inf),
+            "epochs_ran": jnp.zeros((P,), jnp.int32),
+            "epoch": jnp.zeros((), jnp.int32),
+        }
+
+    def run_chunk(carry, xtr, ytr, wtr, xval, yval, wval, key, epoch_end):
+        """Advance training until every lane stopped, the per-model epoch cap
+        is reached, or the (dynamic) ``epoch_end`` chunk boundary — the hook
+        the evaluator uses to compact away early-stopped lanes between
+        chunks. RNG is keyed by the global epoch index, so chunked and
+        one-shot executions follow identical shuffle/dropout streams."""
         n_train = xtr.shape[0]
         B = settings.batch_size
         n_batches = n_train // B
+        xval_b, yval_b, wval_b = _val_batches(xval, yval, wval)
 
-        # reshape val set into eval batches once
-        EB = settings.eval_batch_size
-        n_vb = xval.shape[0] // EB
-        xval_b = xval.reshape((n_vb, EB) + xval.shape[1:])
-        yval_b = yval.reshape((n_vb, EB))
-        wval_b = wval.reshape((n_vb, EB))
-
-        opt_state = jax.vmap(opt.init)(params)
-
-        def train_epoch(params, state, opt_state, stopped, epoch_key, epoch):
+        def train_epoch(params, state, opt_state, flags, stopped, epoch_key):
             perm = jax.random.permutation(epoch_key, n_train).reshape(
                 n_batches, B
             )
@@ -255,18 +317,23 @@ def make_population_trainer(
 
         def cond(carry):
             epoch, stopped = carry["epoch"], carry["stopped"]
-            return (epoch < settings.epochs) & ~jnp.all(stopped)
+            return (
+                (epoch < settings.epochs)
+                & (epoch < epoch_end)
+                & ~jnp.all(stopped)
+            )
 
         def body(carry):
             epoch = carry["epoch"]
+            flags = carry["flags"]
             epoch_key = jax.random.fold_in(key, epoch)
             params, state, opt_state = train_epoch(
                 carry["params"],
                 carry["state"],
                 carry["opt_state"],
+                flags,
                 carry["stopped"],
                 epoch_key,
-                epoch,
             )
             val_loss, val_acc, _ = evaluate(
                 params, state, flags, xval_b, yval_b, wval_b
@@ -292,6 +359,7 @@ def make_population_trainer(
                 "params": params,
                 "state": state,
                 "opt_state": opt_state,
+                "flags": flags,
                 "best_params": best_params,
                 "best_state": best_state,
                 "best_val_loss": best_val_loss,
@@ -303,28 +371,18 @@ def make_population_trainer(
                 "epoch": epoch + 1,
             }
 
-        carry0 = {
-            "params": params,
-            "state": state,
-            "opt_state": opt_state,
-            "best_params": params,
-            "best_state": state,
-            "best_val_loss": jnp.full((P,), jnp.inf),
-            "wait": jnp.zeros((P,), jnp.int32),
-            "stopped": jnp.zeros((P,), bool),
-            "last_val_acc": jnp.zeros((P,)),
-            "last_val_loss": jnp.full((P,), jnp.inf),
-            "epochs_ran": jnp.zeros((P,), jnp.int32),
-            "epoch": jnp.zeros((), jnp.int32),
-        }
-        carry = jax.lax.while_loop(cond, body, carry0)
+        return jax.lax.while_loop(cond, body, carry)
 
+    def finalize(carry, xval, yval, wval):
+        """Final metrics for every lane of a carry: restore-best selection,
+        model.evaluate accuracy, macro FPR."""
+        xval_b, yval_b, wval_b = _val_batches(xval, yval, wval)
         if settings.restore_best_weights:
             eval_params, eval_state = carry["best_params"], carry["best_state"]
         else:
             eval_params, eval_state = carry["params"], carry["state"]
         val_loss, val_acc, fpr = evaluate(
-            eval_params, eval_state, flags, xval_b, yval_b, wval_b
+            eval_params, eval_state, carry["flags"], xval_b, yval_b, wval_b
         )
         return {
             "acc_eval": val_acc,  # model.evaluate(X_val) accuracy
@@ -335,4 +393,18 @@ def make_population_trainer(
             "epochs_ran": carry["epochs_ran"],
         }
 
-    return train_fn
+    def train_fn(params, state, flags, xtr, ytr, wtr, xval, yval, wval, key):
+        """One-shot convenience: full run to the epoch cap, then metrics."""
+        carry = init_carry(params, state, flags)
+        carry = run_chunk(
+            carry, xtr, ytr, wtr, xval, yval, wval, key,
+            jnp.asarray(settings.epochs, jnp.int32),
+        )
+        return finalize(carry, xval, yval, wval)
+
+    return PopulationTrainer(
+        train=train_fn,
+        init_carry=init_carry,
+        run_chunk=run_chunk,
+        finalize=finalize,
+    )

@@ -31,6 +31,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .supernet import BN_EPS, BN_MOMENTUM, FC_WIDTHS, BucketSpec
@@ -50,23 +51,30 @@ def _conv_grouped(x, w, b, pop, stride=1, dtype=jnp.float32):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=pop,
     )
-    return y.astype(jnp.float32) + b.reshape(pop * cout)
+    # activations stay in the compute dtype (the step is HBM-bandwidth
+    # bound on activation traffic; see models/supernet._conv2d)
+    return y + b.reshape(pop * cout).astype(dtype)
 
 
 def _maxpool2(x):
+    # init must be a NUMPY scalar literal: a jnp array init defeats the
+    # reduce_window max-pool autodiff pattern match
     return lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+        x, np.asarray(-np.inf, x.dtype), lax.max,
+        (1, 2, 2, 1), (1, 2, 2, 1), "SAME",
     )
 
 
 def _bn_grouped(x, p, st, use_bn, pop, train):
     """x: (B, H, W, pop*C); p/st leaves: (pop, C); use_bn: (pop,)."""
+    dtype = x.dtype
     c = p["gamma"].shape[1]
     gamma = p["gamma"].reshape(pop * c)
     beta = p["beta"].reshape(pop * c)
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
         new_state = {
             "mean": (BN_MOMENTUM * st["mean"].reshape(-1) + (1 - BN_MOMENTUM) * mean).reshape(pop, c),
             "var": (BN_MOMENTUM * st["var"].reshape(-1) + (1 - BN_MOMENTUM) * var).reshape(pop, c),
@@ -75,7 +83,9 @@ def _bn_grouped(x, p, st, use_bn, pop, train):
         mean = st["mean"].reshape(pop * c)
         var = st["var"].reshape(pop * c)
         new_state = st
-    xn = (x - mean) * lax.rsqrt(var + BN_EPS) * gamma + beta
+    scale = (lax.rsqrt(var + BN_EPS) * gamma).astype(dtype)
+    shift = (beta - mean * lax.rsqrt(var + BN_EPS) * gamma).astype(dtype)
+    xn = x * scale + shift
     mask = jnp.repeat(use_bn, c)  # (pop*C,) lane-wise select per model
     return jnp.where(mask, xn, x), new_state
 
@@ -157,7 +167,8 @@ def apply_population(
         y = _maxpool2(y)
         h = jax.nn.relu(y + skip)
         c_out = spec.block_channels[i][1]
-        gap = jnp.mean(h, axis=(1, 2)).reshape(b_sz, pop, c_out)
+        # GAP accumulates in f32; the FC head is tiny and stays f32
+        gap = jnp.mean(h.astype(jnp.float32), axis=(1, 2)).reshape(b_sz, pop, c_out)
         exits.append(gap)
 
     # multi-exit GAP, zero-padded to the widest width, per-model select

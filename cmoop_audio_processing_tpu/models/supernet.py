@@ -30,7 +30,6 @@ reference's Keras models so training dynamics are faithful.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -38,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.genome import FC_CONFIGS, Genome
+from ..core.genome import Genome
 
 FC_WIDTHS = (512, 256, 128, 64)  # fixed chain; genomes enter at 5 - n_fc
 BN_MOMENTUM = 0.99  # keras BatchNormalization defaults
@@ -175,11 +174,14 @@ def init_params(key, spec: BucketSpec, genome: Genome):
 # ---------------------------------------------------------------------------
 
 def _conv2d(x, p, stride=1, dtype=jnp.float32):
-    # Mixed precision: inputs/weights in compute dtype (bfloat16 on TPU —
-    # the MXU accumulates in f32 internally), bias-add and everything
-    # downstream in f32. preferred_element_type=f32 is avoided deliberately:
-    # its conv transpose rule produces mismatched cotangent dtypes under
-    # autodiff in this JAX version.
+    # Mixed precision: parameters live in f32; activations, conv inputs and
+    # conv outputs stay in the compute dtype end-to-end (bfloat16 on TPU —
+    # the MXU accumulates in f32 internally). The training step is
+    # HBM-bandwidth-bound on activation traffic for these TinyML model
+    # sizes, so keeping activations 16-bit is the dominant perf lever.
+    # preferred_element_type=f32 is avoided deliberately: its conv transpose
+    # rule produces mismatched cotangent dtypes under autodiff in this JAX
+    # version.
     y = lax.conv_general_dilated(
         x.astype(dtype),
         p["w"].astype(dtype),
@@ -187,20 +189,27 @@ def _conv2d(x, p, stride=1, dtype=jnp.float32):
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y.astype(jnp.float32) + p["b"]
+    return y + p["b"].astype(dtype)
 
 
 def _maxpool2(x):
+    # init must be a NUMPY scalar literal: a jnp array init defeats the
+    # reduce_window max-pool autodiff pattern match
     return lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+        x, np.asarray(-np.inf, x.dtype), lax.max,
+        (1, 2, 2, 1), (1, 2, 2, 1), "SAME",
     )
 
 
 def _bn_apply(x, p, st, use_bn, train):
-    """Masked BatchNormalization: returns (maybe-normalized x, new state)."""
+    """Masked BatchNormalization: returns (maybe-normalized x, new state).
+    Batch statistics and running stats are f32 regardless of activation
+    dtype; normalization happens in the activation dtype."""
+    dtype = x.dtype
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
         new_state = {
             "mean": BN_MOMENTUM * st["mean"] + (1 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * st["var"] + (1 - BN_MOMENTUM) * var,
@@ -208,7 +217,9 @@ def _bn_apply(x, p, st, use_bn, train):
     else:
         mean, var = st["mean"], st["var"]
         new_state = st
-    xn = (x - mean) * lax.rsqrt(var + BN_EPS) * p["gamma"] + p["beta"]
+    scale = (lax.rsqrt(var + BN_EPS) * p["gamma"]).astype(dtype)
+    shift = (p["beta"] - mean * lax.rsqrt(var + BN_EPS) * p["gamma"]).astype(dtype)
+    xn = x * scale + shift
     return jnp.where(use_bn, xn, x), new_state
 
 
@@ -275,7 +286,8 @@ def apply_model(
             )
         y = _maxpool2(y)
         h = jax.nn.relu(y + skip)
-        exits.append(jnp.mean(h, axis=(1, 2)))  # GAP after this block
+        # GAP accumulates in f32; the FC head is tiny and stays f32
+        exits.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
 
     # Multi-exit GAP, zero-padded to the widest width
     gap_w = spec.gap_width
@@ -305,10 +317,8 @@ def apply_model(
     return logits, new_state
 
 
-def init_population(key, spec: BucketSpec, genomes):
-    """Init a whole (padded) population: stacked params/state pytrees with a
-    leading pop axis, plus stacked flag arrays."""
-    keys = jax.random.split(key, len(genomes))
+def init_population_keys(keys, spec: BucketSpec, genomes):
+    """init_population with one explicit PRNG key per genome."""
     all_params, all_states = [], []
     for k_i, g in zip(keys, genomes):
         p, s = init_params(k_i, spec, g)
@@ -320,3 +330,9 @@ def init_population(key, spec: BucketSpec, genomes):
         for name in ("n_blocks", "fc_entry", "use_bn", "use_dropout")
     }
     return stack(all_params), stack(all_states), flags
+
+
+def init_population(key, spec: BucketSpec, genomes):
+    """Init a whole (padded) population: stacked params/state pytrees with a
+    leading pop axis, plus stacked flag arrays."""
+    return init_population_keys(jax.random.split(key, len(genomes)), spec, genomes)

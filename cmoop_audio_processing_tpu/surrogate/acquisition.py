@@ -16,7 +16,7 @@ LCB (mu - k*sigma) used by the Lamarckian local search
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import jax
 import numpy as np

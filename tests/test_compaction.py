@@ -1,0 +1,68 @@
+"""Lane-compaction must not change results: chunked execution with
+compaction reproduces the one-shot program's fitness exactly (dropout-free
+genomes; RNG streams are keyed by global epoch so chunk boundaries are
+invisible to the math)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+GENOMES = [
+    dict(filters=16, kernel_size=3, use_bn=False, residual_blocks=1,
+         fc_layers=1, use_dropout=False),
+    dict(filters=16, kernel_size=3, use_bn=True, residual_blocks=2,
+         fc_layers=2, use_dropout=False),
+    dict(filters=16, kernel_size=3, use_bn=False, residual_blocks=3,
+         fc_layers=1, use_dropout=False),
+    dict(filters=16, kernel_size=3, use_bn=True, residual_blocks=1,
+         fc_layers=3, use_dropout=False),
+]
+
+
+@pytest.fixture(scope="module")
+def data():
+    return prepare_dataset(
+        DataConfig(synthetic_train=192, synthetic_eval=64, time_steps=16,
+                   features=8, num_classes=4)
+    )
+
+
+def _cfg(chunk):
+    return TrainConfig(
+        epochs=12, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32", compaction_chunk=chunk,
+    )
+
+
+def test_compaction_matches_oneshot(data):
+    # low patience + easy data force staggered early stops, so the chunked
+    # path actually compacts (4 -> 2 -> 1 lanes)
+    fits_oneshot = PopulationEvaluator(data, _cfg(0)).evaluate(GENOMES, seed=3)
+    fits_chunked = PopulationEvaluator(data, _cfg(3)).evaluate(GENOMES, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(fits_chunked), np.asarray(fits_oneshot), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_compaction_matches_oneshot_vmap(data):
+    import dataclasses
+
+    fits_oneshot = PopulationEvaluator(
+        data, dataclasses.replace(_cfg(0), parallel_impl="vmap")
+    ).evaluate(GENOMES, seed=3)
+    fits_chunked = PopulationEvaluator(
+        data, dataclasses.replace(_cfg(3), parallel_impl="vmap")
+    ).evaluate(GENOMES, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(fits_chunked), np.asarray(fits_oneshot), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_compaction_epochs_respected(data):
+    ev = PopulationEvaluator(data, _cfg(4))
+    fits = ev.evaluate(GENOMES[:2], seed=1)
+    assert all(np.isfinite(np.asarray(fits)).all() for fits in fits)

@@ -82,8 +82,8 @@ def test_grouped_trainer_matches_vmap_trainer():
         xtr, ytr, wtr = pad_dataset(xtr_, ytr_, 32)
         xval, yval, wval = pad_dataset(xval_, yval_, 32)
         params, state, flags = init_population(jax.random.key(3), spec, genomes)
-        fn = jax.jit(make_population_trainer(spec, settings, 5))
-        out = fn(
+        trainer = make_population_trainer(spec, settings, 5)
+        out = jax.jit(trainer.train)(
             params, state, flags,
             jnp.asarray(xtr), jnp.asarray(ytr), jnp.asarray(wtr),
             jnp.asarray(xval), jnp.asarray(yval), jnp.asarray(wval),
