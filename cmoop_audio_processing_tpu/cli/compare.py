@@ -139,10 +139,12 @@ def main(argv=None) -> int:
         print(f"  {key}: {val:.3f}")
 
     if args.rank:
+        # rankings land next to the report (or CWD when no --out given)
+        rank_dir = os.path.dirname(os.path.abspath(args.out)) if args.out else "."
         for name, arr in fronts.items():
             df = pd.DataFrame(arr, columns=["Accuracy", "Size_MB", "FPR"])
             ranked = rank_front(df)
-            out_path = f"ranked_{name}.csv"
+            out_path = os.path.join(rank_dir, f"ranked_{name}.csv")
             ranked.to_csv(out_path, index=False)
             print(f"Tchebycheff ranking for {name} -> {out_path}")
 

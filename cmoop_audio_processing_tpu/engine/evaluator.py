@@ -190,11 +190,17 @@ class PopulationEvaluator:
 
         chunk = self.settings.compaction_chunk
         if chunk <= 0 or self.mesh is not None:
-            # one-shot (compaction would fight the mesh's pop sharding)
+            # one-shot (compaction would fight the mesh's pop sharding).
+            # The epoch cap is passed as a call-site ARGUMENT so one compiled
+            # program serves every epoch budget (a cap created inside the
+            # traced function would bake in as a literal).
             trainer = self._get_trainer(spec, pop)
-            out = trainer.train(
-                params, state, flags, xtr, ytr, wtr, xval, yval, wval, train_key
+            carry = trainer.init_carry(params, state, flags)
+            carry = trainer.run_chunk(
+                carry, xtr, ytr, wtr, xval, yval, wval, train_key,
+                jnp.asarray(self.settings.epochs, jnp.int32),
             )
+            out = trainer.finalize(carry, xval, yval, wval)
             return {
                 "acc": np.asarray(out[acc_key]),
                 "fpr": np.asarray(out["fpr"]),

@@ -316,12 +316,11 @@ def make_population_trainer(
             return params, state, opt_state
 
         def cond(carry):
+            # the epoch cap arrives ONLY via the dynamic epoch_end operand:
+            # baking settings.epochs in as a literal would make every epoch
+            # budget a distinct compiled program
             epoch, stopped = carry["epoch"], carry["stopped"]
-            return (
-                (epoch < settings.epochs)
-                & (epoch < epoch_end)
-                & ~jnp.all(stopped)
-            )
+            return (epoch < epoch_end) & ~jnp.all(stopped)
 
         def body(carry):
             epoch = carry["epoch"]
