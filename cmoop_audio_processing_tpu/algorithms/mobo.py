@@ -18,6 +18,7 @@ as the EA drivers.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -74,6 +75,9 @@ def run_mobo(
                 x_vec = np.stack([to_vector(g) for g in all_genomes])
                 y_objs = np.array([s["objs"] for s in seeds], np.float64)
                 y_cv = np.array([[s["CV"]] for s in seeds], np.float64)
+                # the seed file decides the initial design size
+                # (psi_mobo_2.py:357-404 reads however many rows exist)
+                cfg = dataclasses.replace(cfg, initial_samples=len(seeds))
             else:
                 all_genomes = [
                     random_genome(rng.host) for _ in range(cfg.initial_samples)

@@ -58,7 +58,6 @@ class PopulationEvaluator:
         data: Dict[str, np.ndarray],
         train_cfg: TrainConfig,
         mesh: Optional["jax.sharding.Mesh"] = None,
-        donate: bool = True,
     ):
         from ..utils.compile_cache import enable_persistent_cache
 
@@ -266,10 +265,9 @@ class PopulationEvaluator:
         replicated (SURVEY.md §2.3: population data-parallelism over ICI)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        pop_sharding = NamedSharding(self.mesh, P("pop"))
-
         def shard_leaf(x):
-            return jax.device_put(x, NamedSharding(self.mesh, P(*( ("pop",) + (None,) * (x.ndim - 1)))))
+            spec = P(*(("pop",) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         params = jax.tree.map(shard_leaf, params)
         state = jax.tree.map(shard_leaf, state)
