@@ -39,8 +39,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 
 def main() -> int:
     import jax
@@ -82,14 +80,10 @@ def main() -> int:
         return PopulationEvaluator(data, cfg)
 
     # --- population path ---
-    # warmup and measurement use the SAME seed: early-stop patterns decide
-    # which compacted program sizes execute, so an identical path guarantees
-    # the measurement sees only warm-cache programs (steady-state throughput
-    # of a realistic generation).
-    # Same evaluator for warmup and measurement: model inits are genome-
-    # keyed and the train stream is seed-keyed, so the two calls do
-    # identical work, and reusing the evaluator keeps the jitted programs
-    # traced (a fresh evaluator would re-trace multi-second Python traces).
+    # Same evaluator + same seed for warmup and measurement: inits are
+    # genome-keyed and the train stream seed-keyed, so both calls do
+    # identical work, every program on the path is compiled AND traced by
+    # the warmup, and the measurement shows steady-state throughput.
     ev = make_eval(16)
     ev.evaluate(genomes, seed=1)  # warmup: compile + trace
     t0 = time.perf_counter()

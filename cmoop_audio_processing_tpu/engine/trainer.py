@@ -39,8 +39,7 @@ distributionally equivalent (SURVEY.md §7 "RNG discipline").
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

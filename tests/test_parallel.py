@@ -65,3 +65,30 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)  # asserts internally
+
+
+def test_population_evaluator_on_mesh():
+    """The full evaluator path with a device mesh: population axis sharded
+    over 8 virtual devices, vmap lanes, one-shot training."""
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.core.genome import all_genomes
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=64, synthetic_eval=32, time_steps=12,
+                   features=8, num_classes=4)
+    )
+    mesh = population_mesh(8, 1)
+    cfg = TrainConfig(
+        epochs=2, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32",
+    )
+    ev = PopulationEvaluator(data, cfg, mesh=mesh)
+    assert ev.settings.parallel_impl == "vmap"  # mesh forces per-model lanes
+    genomes = [g for g in all_genomes() if g["filters"] == 16 and g["kernel_size"] == 3][:8]
+    fits = ev.evaluate(genomes, seed=0)
+    arr = np.asarray(fits)
+    assert arr.shape == (8, 3)
+    assert np.isfinite(arr).all()
+    assert (arr[:, 1] > 0).all()  # sizes positive
