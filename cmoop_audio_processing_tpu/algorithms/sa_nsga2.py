@@ -70,6 +70,35 @@ def select_infill_points(
     return selected, [predicted[i]["hparams"] for i in selected]
 
 
+def _use_analytic_size(predicted: List[Individual], evaluator, cfg) -> None:
+    """Replace GP-predicted sizes with the exact analytic size.
+
+    The reference fits a GP even for model size (sa_nsga_penalty.py:283 —
+    its surrogate code is target-generic), so its predicted records can
+    carry impossible sizes (negative MB) into infill ranking and even the
+    exported final front. Size is a deterministic function of the genome
+    (models/genome_arch.py), so we substitute the true value — a documented
+    deviation that can only reduce surrogate noise (PARITY.md). CV is
+    recomputed against the corrected size."""
+    from ..models.genome_arch import model_size_mb
+
+    num_classes = getattr(evaluator, "num_classes", None) or getattr(
+        getattr(evaluator, "cfg", None), "num_classes", 10
+    )
+    template = getattr(evaluator, "template", None) or getattr(
+        getattr(evaluator, "cfg", None), "template", "A"
+    )
+    max_size = cfg.constraints.max_model_size_mb
+    for rec in predicted:
+        true_size = model_size_mb(rec["hparams"], num_classes, template)
+        rec["objs"][1] = true_size
+        rec["metrics"]["size"] = true_size
+        # the cv-GP's prediction keeps covering acc/fpr, but a known size
+        # violation must never be masked by an optimistic predicted CV
+        if max_size is not None:
+            rec["CV"] = max(rec["CV"], max(0.0, true_size - max_size))
+
+
 def run_sa_nsga2(
     cfg: SearchConfig,
     evaluator,
@@ -129,6 +158,7 @@ def run_sa_nsga2(
 
             with StageTimer(reporter, "surrogate_predict", gen=gen):
                 off_predicted = surrogate.predict_and_structure(offspring)
+                _use_analytic_size(off_predicted, evaluator, cfg)
                 # surrogate predicts (acc,size,fpr); restrict to the active
                 # objective subset for bi-objective variants
                 if cfg.objectives != ("acc", "size", "fpr"):
@@ -178,6 +208,11 @@ def run_sa_nsga2(
 
     pareto = ea.extract_final_pareto(pop_data, cfg.penalty.final_sort_lambda)
     if reporter:
+        # surrogate-predicted individuals can survive into the final front
+        # (the reference exports them too); surface the count so consumers
+        # know which rows carry predicted rather than measured acc/fpr
+        n_pred = sum(1 for rec in pareto if rec.get("predicted"))
+        reporter.log("final_front", n=len(pareto), predicted=n_pred)
         reporter.final_pareto(pareto)
         reporter.all_generations()
     return pareto, (reporter.gen_dfs if reporter else [])

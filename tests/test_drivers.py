@@ -236,3 +236,30 @@ def test_psi_init_from_csv(tmp_path):
     assert isinstance(pop[0]["hparams"]["use_bn"], bool)
     # no re-training happened: records came straight from the file
     assert pop[2]["metrics"]["size"] == 1.0
+
+
+def test_predicted_records_get_analytic_size():
+    """GP-predicted offspring carry the exact analytic size, and a real size
+    violation is never masked by an optimistic predicted CV."""
+    from cmoop_audio_processing_tpu.algorithms.sa_nsga2 import _use_analytic_size
+    from cmoop_audio_processing_tpu.models.genome_arch import model_size_mb
+
+    big = all_genomes()[-1]  # 64 filters, 3 blocks, 4 fc -> >> 2.5 MB
+    small = all_genomes()[0]
+    recs = [
+        {"hparams": dict(big), "objs": [-0.95, -0.4, 0.01], "CV": 0.0,
+         "metrics": {"acc": 0.95, "size": -0.4, "fpr": 0.01}, "predicted": True},
+        {"hparams": dict(small), "objs": [-0.9, 9.9, 0.01], "CV": 0.3,
+         "metrics": {"acc": 0.9, "size": 9.9, "fpr": 0.01}, "predicted": True},
+    ]
+    fake = FakeEvaluator()
+    cfg = SearchConfig(constraints=CONS)
+    _use_analytic_size(recs, fake, cfg)
+    true_big = model_size_mb(big, 10, "A")
+    assert recs[0]["objs"][1] == true_big
+    assert recs[0]["metrics"]["size"] == true_big
+    # known size violation now reflected in CV despite predicted CV == 0
+    assert recs[0]["CV"] >= true_big - 2.5 > 0
+    # small genome: true size replaces nonsense prediction, CV untouched
+    assert recs[1]["objs"][1] == model_size_mb(small, 10, "A")
+    assert recs[1]["CV"] == 0.3
