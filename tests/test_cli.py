@@ -108,3 +108,31 @@ def test_extract_features_cli(tmp_path):
 
     data = prepare_dataset(DataConfig(source="npy", path=str(out)))
     assert data["x_train"].shape[-1] == 1
+
+
+def test_every_preset_runs(tmp_path):
+    """All 12 reference-script presets execute end-to-end on the fake
+    evaluator and emit their final front artifact."""
+    from cmoop_audio_processing_tpu.core.config import PRESETS
+    import pandas as pd
+    from cmoop_audio_processing_tpu.core.genome import GENE_ORDER, all_genomes
+
+    # PSI presets need a stage-1 seed file
+    seed_rows = [
+        {"Accuracy": 0.93, "Size_MB": 1.2, "FPR": 0.05,
+         **{k: g[k] for k in GENE_ORDER}}
+        for g in all_genomes()[::50][:5]
+    ]
+    seed_file = tmp_path / "Final.csv"
+    pd.DataFrame(seed_rows).to_csv(seed_file, index=False)
+
+    for preset in sorted(PRESETS):
+        argv = ["--fake-eval", "--max-gen", "2", "--pop-size", "5",
+                "--out", str(tmp_path / "runs"), "--seed", "1"]
+        if preset.startswith("psi"):
+            argv += ["--psi-seed-file", str(seed_file)]
+        assert cli_main(argv, preset=preset) == 0, preset
+        run_dir = tmp_path / "runs" / preset
+        front = "mobo_pareto.csv" if PRESETS[preset].algorithm == "mobo" else "final_pareto.csv"
+        assert (run_dir / front).exists(), preset
+        assert (run_dir / "progress.jsonl").exists(), preset
