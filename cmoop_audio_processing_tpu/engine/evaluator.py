@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import TrainConfig
-from ..core.genome import Genome, genome_key
+from ..core.genome import Genome, genome_key, validate
 from ..models.genome_arch import model_size_mb
 from ..models.supernet import BucketSpec, init_population_keys
 from .trainer import (
@@ -126,6 +126,8 @@ class PopulationEvaluator:
         """Evaluate all genomes; returns fitness per genome in input order.
         Genomes sharing a bucket train together in one program launch."""
         t0 = time.perf_counter()
+        for g in genomes:
+            validate(g)  # out-of-space genomes would silently mis-bucket
         bucket_genes = self.cfg.bucket_genes
         buckets: Dict[tuple, List[int]] = {}
         for i, g in enumerate(genomes):

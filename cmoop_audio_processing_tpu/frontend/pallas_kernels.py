@@ -60,8 +60,7 @@ def _padded_operands(cfg: FrontendConfig):
     return wp, mp_mat, kp, mp
 
 
-def _kernel(frames_ref, w_ref, mel_ref, out_ref, *, kp, natural_log):
-    frames = frames_ref[0]  # (TF, n_fft)
+def _logmel_tile(frames, w_ref, mel_ref, kp, natural_log):
     proj = jnp.dot(
         frames, w_ref[:], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -74,9 +73,22 @@ def _kernel(frames_ref, w_ref, mel_ref, out_ref, *, kp, natural_log):
         precision=jax.lax.Precision.HIGHEST,
     )
     if natural_log:
-        out_ref[0] = jnp.log(mel + 1e-6)
-    else:
-        out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        return jnp.log(mel + 1e-6)
+    return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+def _kernel(frames_ref, w_ref, mel_ref, out_ref, *, kp, natural_log):
+    out_ref[0] = _logmel_tile(frames_ref[0], w_ref, mel_ref, kp, natural_log)
+
+
+def _mfcc_kernel(frames_ref, w_ref, mel_ref, dct_ref, out_ref, *, kp):
+    """log-mel tile -> DCT-II GEMM, all in VMEM (MFCC uses the raw-dB
+    variant, ref=1.0, librosa.feature.mfcc semantics)."""
+    logmel = _logmel_tile(frames_ref[0], w_ref, mel_ref, kp, natural_log=False)
+    out_ref[0] = jnp.dot(
+        logmel, dct_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -120,3 +132,47 @@ def log_mel_fused(
         out = out - ref_db
         out = jnp.maximum(out, jnp.max(out, axis=(1, 2), keepdims=True) - cfg.top_db)
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def mfcc_fused(
+    y: jnp.ndarray, cfg: FrontendConfig = FrontendConfig(), interpret: bool | None = None
+) -> jnp.ndarray:
+    """(batch, samples) -> (batch, n_frames, n_mfcc): the full MFCC chain
+    (DFT -> power -> mel -> dB -> DCT-II) fused in VMEM per frame tile."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    frames = _frame(y.astype(jnp.float32), cfg)
+    b, n_frames, _ = frames.shape
+    t_pad = _round_up(n_frames, FRAME_TILE)
+    frames = jnp.pad(frames, ((0, 0), (0, t_pad - n_frames), (0, 0)))
+
+    wp, mp_mat, kp, mp = _padded_operands(cfg)
+    # lane-padded orthonormal DCT: zero rows beyond n_mels nullify the
+    # padded log-mel columns (which carry log10(amin), not zero)
+    from .reference_impl import dct_ortho_matrix
+
+    cp = _round_up(cfg.n_mfcc, LANE)
+    dct = np.zeros((mp, cp), np.float32)
+    dct[: cfg.n_mels, : cfg.n_mfcc] = dct_ortho_matrix(cfg.n_mfcc, cfg.n_mels).T
+
+    out = pl.pallas_call(
+        partial(_mfcc_kernel, kp=kp),
+        grid=(b, t_pad // FRAME_TILE),
+        in_specs=[
+            pl.BlockSpec(
+                (1, FRAME_TILE, cfg.n_fft), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, FRAME_TILE, cp), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, cp), jnp.float32),
+        interpret=interpret,
+    )(frames, jnp.asarray(wp), jnp.asarray(mp_mat), jnp.asarray(dct))
+    return out[:, :n_frames, : cfg.n_mfcc]

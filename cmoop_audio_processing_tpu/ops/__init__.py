@@ -11,7 +11,7 @@ them so the op inventory is discoverable at a glance:
 
 from ..engine.trainer import macro_fpr, pad_dataset
 from ..frontend.features import log_mel, mfcc, stft_power
-from ..frontend.pallas_kernels import log_mel_fused
+from ..frontend.pallas_kernels import log_mel_fused, mfcc_fused
 from ..models.grouped import apply_population
 from ..models.supernet import apply_model
 from ..surrogate.kernels import matern, rbf, scaled_matern_white, sqdist
@@ -23,6 +23,7 @@ __all__ = [
     "mfcc",
     "stft_power",
     "log_mel_fused",
+    "mfcc_fused",
     "apply_population",
     "apply_model",
     "matern",

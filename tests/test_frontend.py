@@ -179,3 +179,15 @@ def test_resample_preserves_tone():
     spec = np.abs(np.fft.rfft(y16 * np.hanning(len(y16))))
     peak_hz = spec.argmax() * 16000 / len(y16)
     assert abs(peak_hz - 440) < 5
+
+
+def test_pallas_mfcc_matches_xla_path():
+    from cmoop_audio_processing_tpu.frontend.pallas_kernels import mfcc_fused
+
+    ys = _signals()
+    want = np.asarray(mfcc(ys, CFG))
+    got = np.asarray(mfcc_fused(ys, CFG))
+    assert got.shape == want.shape
+    # dB-scale values span hundreds; observed rel diff ~6e-4 (f32 matmul
+    # reassociation between the fused and XLA paths)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=1e-3)
