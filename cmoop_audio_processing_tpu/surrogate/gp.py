@@ -118,11 +118,7 @@ def _nll(params, x, y, point_noise, nu, with_constant, with_noise):
     return jnp.where(jnp.isfinite(nll), nll, 1e10)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("nu", "with_constant", "with_noise", "steps", "lr", "bounds"),
-)
-def _fit_restarts(
+def _fit_restarts_impl(
     x, y, point_noise, inits, nu, with_constant, with_noise, steps, lr, bounds
 ):
     import optax
@@ -164,26 +160,38 @@ def _fit_restarts(
     return jax.tree.map(lambda p: p[best], params_all)
 
 
-def fit_gp(
-    x: np.ndarray,
-    y: np.ndarray,
-    cfg: GPConfig = GPConfig(),
-    key: Optional[jax.Array] = None,
-    normalize_y: bool = False,
-) -> GPState:
-    """Fit kernel hyperparameters by parallel multi-restart NLL minimization
-    and cache the float64 posterior Cholesky."""
-    x = np.asarray(x, np.float32)
+_STATIC = ("nu", "with_constant", "with_noise", "steps", "lr", "bounds")
+_fit_restarts = partial(jax.jit, static_argnames=_STATIC)(_fit_restarts_impl)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _fit_restarts_multi(
+    x, ys, point_noise, inits, nu, with_constant, with_noise, steps, lr, bounds
+):
+    """All targets' multi-restart fits as ONE device program: vmap over the
+    target axis of (ys, inits); x and the padding-noise vector are shared.
+    The SurrogateManager fits 4 GPs per generation — batching them turns 4
+    program launches into 1."""
+    fit_one = partial(
+        _fit_restarts_impl, nu=nu, with_constant=with_constant,
+        with_noise=with_noise, steps=steps, lr=lr, bounds=bounds,
+    )
+    return jax.vmap(lambda y, ini: fit_one(x, y, point_noise, ini))(ys, inits)
+
+
+def _scale_target(y, normalize_y: bool):
     y_raw = np.asarray(y, np.float32).reshape(-1)
-    n, d = x.shape
     if normalize_y:
         y_mean = float(y_raw.mean())
         y_std = float(max(y_raw.std(), 1e-12))
     else:
         y_mean, y_std = 0.0, 1.0
-    y_n = (y_raw - y_mean) / y_std
+    return (y_raw - y_mean) / y_std, y_mean, y_std
 
-    # pad to a power of two with inert (huge-noise) rows
+
+def _pad_training(x: np.ndarray, y_n: np.ndarray):
+    """Pad to a power of two with inert (huge-noise) rows."""
+    n, d = x.shape
     np_pad = _next_pow2(max(n, 1))
     x_p = np.zeros((np_pad, d), np.float32)
     x_p[:n] = x
@@ -191,11 +199,11 @@ def fit_gp(
     y_p[:n] = y_n
     noise_p = np.full((np_pad,), PAD_NOISE, np.float32)
     noise_p[:n] = 0.0
+    return x_p, y_p, noise_p
 
-    if key is None:
-        key = jax.random.key(0)
+
+def _make_inits(cfg: GPConfig, key):
     ilo, ihi = cfg.init_bounds
-
     n_restarts = max(cfg.n_restarts, 1)
     rk = jax.random.split(key, 3)
     rand = {
@@ -208,32 +216,59 @@ def fit_gp(
         "log_l": jnp.asarray([cfg.init_log_length], jnp.float32),
         "log_n": jnp.asarray([cfg.init_log_noise], jnp.float32),
     }
-    inits = jax.tree.map(
+    return jax.tree.map(
         lambda f, r: jnp.concatenate([f, r.astype(jnp.float32)]), first, rand
     )
+
+
+def _params_to_logs(params, cfg: GPConfig):
+    log_c = float(params["log_c"]) if cfg.with_constant else 0.0
+    log_n = float(params["log_n"]) if cfg.with_noise else float(np.log(JITTER))
+    return log_c, float(params["log_l"]), log_n
+
+
+def fit_gp(
+    x: np.ndarray,
+    y: np.ndarray,
+    cfg: GPConfig = GPConfig(),
+    key: Optional[jax.Array] = None,
+    normalize_y: bool = False,
+) -> GPState:
+    """Fit kernel hyperparameters by parallel multi-restart NLL minimization
+    and cache the float64 posterior Cholesky."""
+    x = np.asarray(x, np.float32)
+    y_n, y_mean, y_std = _scale_target(y, normalize_y)
+    x_p, y_p, noise_p = _pad_training(x, y_n)
+
+    if key is None:
+        key = jax.random.key(0)
+    inits = _make_inits(cfg, key)
 
     params = _fit_restarts(
         jnp.asarray(x_p), jnp.asarray(y_p), jnp.asarray(noise_p), inits,
         cfg.nu, cfg.with_constant, cfg.with_noise,
         cfg.steps, cfg.lr, cfg.log_bounds,
     )
-    log_c = float(params["log_c"]) if cfg.with_constant else 0.0
-    log_n = float(params["log_n"]) if cfg.with_noise else float(np.log(JITTER))
-    log_l = float(params["log_l"])
+    log_c, log_l, log_n = _params_to_logs(params, cfg)
 
     # Posterior factorization on host in float64: TPUs have no native f64,
     # and sklearn-grade interpolation of a noise-free smooth kernel needs it
     # (alpha=1e-10 jitter is below f32 resolution). The matrices are tiny
     # (archive <= a few hundred points), so the expensive part — the
     # multi-restart hyperparameter search above — is what runs on device.
+    return _host_posterior(x, y_n, cfg, log_c, log_l, log_n, y_mean, y_std)
+
+
+def _host_posterior(x, y_n, cfg, log_c, log_l, log_n, y_mean, y_std) -> GPState:
+    from scipy.linalg import cho_solve
+
+    n = x.shape[0]
     k = _np_kernel(x, x, log_c, log_l, cfg.nu)
     diag = np.full(n, JITTER)
     if cfg.with_noise:
         diag = diag + np.exp(log_n)
     k = k + np.diag(diag)
     chol = np.linalg.cholesky(k)
-    from scipy.linalg import cho_solve
-
     alpha = cho_solve((chol, True), y_n.astype(np.float64))
     return GPState(
         log_c=log_c,
@@ -246,6 +281,45 @@ def fit_gp(
         y_mean=y_mean,
         y_std=y_std,
     )
+
+
+def fit_gp_multi(
+    x: np.ndarray,
+    ys,
+    cfg: GPConfig = GPConfig(),
+    keys=None,
+    normalize_y: bool = False,
+):
+    """Fit one GP per target over a SHARED input matrix in one device
+    program (vmapped over targets x restarts). Returns a list of GPStates —
+    the SurrogateManager's 4-target refit becomes a single launch."""
+    x = np.asarray(x, np.float32)
+    ys = [np.asarray(y, np.float32).reshape(-1) for y in ys]
+    if keys is None:
+        keys = [jax.random.fold_in(jax.random.key(0), i) for i in range(len(ys))]
+
+    scaled = [_scale_target(y, normalize_y) for y in ys]
+    padded = [_pad_training(x, y_n) for (y_n, _, _) in scaled]
+    x_p, _, noise_p = padded[0]
+    y_stack = jnp.asarray(np.stack([p[1] for p in padded]))
+    inits = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[_make_inits(cfg, k) for k in keys],
+    )
+
+    params_all = _fit_restarts_multi(
+        jnp.asarray(x_p), y_stack, jnp.asarray(noise_p), inits,
+        cfg.nu, cfg.with_constant, cfg.with_noise,
+        cfg.steps, cfg.lr, cfg.log_bounds,
+    )
+    states = []
+    for t, (y_n, y_mean, y_std) in enumerate(scaled):
+        params_t = jax.tree.map(lambda p: p[t], params_all)
+        log_c, log_l, log_n = _params_to_logs(params_t, cfg)
+        states.append(
+            _host_posterior(x, y_n, cfg, log_c, log_l, log_n, y_mean, y_std)
+        )
+    return states
 
 
 def _np_kernel(x1: np.ndarray, x2: np.ndarray, log_c, log_l, nu) -> np.ndarray:

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..core.genome import Genome, genome_key
 from ..core.records import Individual
-from .gp import GPConfig, GPState, fit_gp, predict_gp
+from .gp import GPConfig, GPState, fit_gp_multi, predict_gp
 
 NUMERICAL = ("filters", "kernel_size", "residual_blocks", "fc_layers")
 CATEGORICAL = ("use_bn", "use_dropout")
@@ -105,15 +105,25 @@ class SurrogateManager:
         genomes = [e["genome"] for e in self._archive.values()]
         x = encode_features(genomes)
         self._update_count += 1
+        self._refit(x)
+        self.is_fitted = True
+
+    def _refit(self, x) -> None:
+        """All 4 targets' multi-restart GP fits in ONE device program."""
+        ys, keys = [], []
         for i, t in enumerate(TARGETS):
             y = np.array([e[t] for e in self._archive.values()], np.float64)
             scaler = _TargetScaler().fit(y)
             self._scalers[t] = scaler
-            key = jax.random.fold_in(
-                jax.random.key(self._seed), self._update_count * 10 + i
+            ys.append(scaler.transform(y))
+            keys.append(
+                jax.random.fold_in(
+                    jax.random.key(self._seed), self._update_count * 10 + i
+                )
             )
-            self._models[t] = fit_gp(x, scaler.transform(y), self.cfg, key)
-        self.is_fitted = True
+        states = fit_gp_multi(x, ys, self.cfg, keys)
+        for t, st in zip(TARGETS, states):
+            self._models[t] = st
 
     # -- predict --------------------------------------------------------------
 
@@ -179,15 +189,7 @@ class SurrogateManager:
         self._seed = state["seed"]
         self._update_count = state["update_count"]
         if self._archive:
-            # refit from the restored archive
+            # refit from the restored archive (same keys as the last update)
             genomes = [e["genome"] for e in self._archive.values()]
-            x = encode_features(genomes)
-            for i, t in enumerate(TARGETS):
-                y = np.array([e[t] for e in self._archive.values()], np.float64)
-                scaler = _TargetScaler().fit(y)
-                self._scalers[t] = scaler
-                key = jax.random.fold_in(
-                    jax.random.key(self._seed), self._update_count * 10 + i
-                )
-                self._models[t] = fit_gp(x, scaler.transform(y), self.cfg, key)
+            self._refit(encode_features(genomes))
             self.is_fitted = True

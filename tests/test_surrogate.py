@@ -176,3 +176,26 @@ def test_mobo_gps_and_acquisition():
     # with lam=10 the CV term (weight 10*0.5 at x0=0) dominates the size
     # gain, so the acquisition must prefer feasible (higher x0) candidates
     assert best[0] > 0.4
+
+
+def test_fit_gp_multi_matches_sequential():
+    """The batched multi-target fit is the same math as sequential fit_gp
+    calls with the same keys (vmap only batches the program)."""
+    import jax
+
+    from cmoop_audio_processing_tpu.surrogate.gp import fit_gp, fit_gp_multi
+
+    rng = np.random.default_rng(4)
+    x = rng.random((18, 5))
+    ys = [np.sin(2 * x[:, 0]), x[:, 1] ** 2, 0.5 * x[:, 2] - x[:, 3]]
+    keys = [jax.random.fold_in(jax.random.key(9), i) for i in range(3)]
+    cfg = GPConfig(n_restarts=3, steps=80)
+
+    multi = fit_gp_multi(x, ys, cfg, keys)
+    xq = rng.random((7, 5))
+    for y, key, st in zip(ys, keys, multi):
+        solo = fit_gp(x, y, cfg, key)
+        np.testing.assert_allclose(
+            predict_gp(st, xq, cfg), predict_gp(solo, xq, cfg),
+            rtol=1e-4, atol=1e-5,
+        )
