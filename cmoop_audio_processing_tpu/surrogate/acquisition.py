@@ -21,7 +21,7 @@ from typing import List, Sequence
 import jax
 import numpy as np
 
-from .gp import GPConfig, GPState, fit_gp, predict_gp
+from .gp import GPConfig, GPState, fit_gp_multi, predict_gp
 
 MOBO_GP_CONFIG = GPConfig(
     nu=2.5,
@@ -33,20 +33,16 @@ MOBO_GP_CONFIG = GPConfig(
 
 
 def train_gps(x: np.ndarray, y: np.ndarray, seed: int = 0) -> List[GPState]:
-    """One GP per column of y (mobo_penalty.py:252-263)."""
+    """One GP per column of y (mobo_penalty.py:252-263); all columns' fits
+    run as one batched device program."""
     y = np.atleast_2d(np.asarray(y, np.float64))
-    if y.shape[0] == np.asarray(x).shape[0] and y.ndim == 2:
-        cols = y.shape[1]
-    else:
+    if not (y.shape[0] == np.asarray(x).shape[0] and y.ndim == 2):
         y = y.T
-        cols = y.shape[1]
-    models = []
-    for dim in range(cols):
-        key = jax.random.fold_in(jax.random.key(seed), dim)
-        models.append(
-            fit_gp(x, y[:, dim], MOBO_GP_CONFIG, key, normalize_y=True)
-        )
-    return models
+    cols = y.shape[1]
+    keys = [jax.random.fold_in(jax.random.key(seed), dim) for dim in range(cols)]
+    return fit_gp_multi(
+        x, [y[:, d] for d in range(cols)], MOBO_GP_CONFIG, keys, normalize_y=True
+    )
 
 
 def predict_gps(models: Sequence[GPState], x: np.ndarray) -> np.ndarray:
