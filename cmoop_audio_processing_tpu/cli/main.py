@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the population over N devices (0 = no mesh)")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="additionally shard each training batch over M "
+                        "devices (total devices = mesh * mesh_data)")
     return p
 
 
@@ -91,7 +94,8 @@ def config_from_args(args) -> ExperimentConfig:
     )
 
 
-def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0):
+def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
+                   mesh_data: int = 1):
     if fake:
         from ..engine.evaluator import FakeEvaluator
 
@@ -106,7 +110,7 @@ def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0):
     if mesh_devices:
         from ..parallel.mesh import population_mesh
 
-        mesh = population_mesh(mesh_devices)
+        mesh = population_mesh(mesh_devices, mesh_data)
     return PopulationEvaluator(data, cfg.train, mesh=mesh)
 
 
@@ -141,7 +145,7 @@ def main(argv: Optional[list] = None, preset: Optional[str] = None) -> int:
         argv = ["--preset", preset] + list(argv if argv is not None else sys.argv[1:])
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    evaluator = make_evaluator(cfg, args.fake_eval, args.mesh)
+    evaluator = make_evaluator(cfg, args.fake_eval, args.mesh, args.mesh_data)
     pareto, _ = run(cfg, evaluator, resume=args.resume)
     print(f"\nFinal Pareto-optimal feasible solutions ({len(pareto)}):")
     for sol in pareto:

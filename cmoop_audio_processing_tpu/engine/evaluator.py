@@ -83,12 +83,28 @@ class PopulationEvaluator:
         xval, yval, wval = pad_dataset(
             data["x_val"], data["y_val"], self.settings.eval_batch_size
         )
-        self._train = (
-            jnp.asarray(xtr), jnp.asarray(ytr), jnp.asarray(wtr),
-        )
-        self._val = (
-            jnp.asarray(xval), jnp.asarray(yval), jnp.asarray(wval),
-        )
+        # with a >1 'data' mesh axis the dataset rows shard over it (GSPMD
+        # inserts the gradient/metric psums over ICI — SURVEY.md §2.3
+        # "sharding the training batch when one model saturates a chip")
+        n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        if n_data > 1:
+            if (
+                train_cfg.batch_size % n_data
+                or self.settings.eval_batch_size % n_data
+            ):
+                raise ValueError(
+                    f"batch sizes ({train_cfg.batch_size}, "
+                    f"{self.settings.eval_batch_size}) must divide by the "
+                    f"'data' mesh axis ({n_data})"
+                )
+            from ..parallel.mesh import batch_sharding
+
+            rows = batch_sharding(mesh)
+            place = lambda a: jax.device_put(jnp.asarray(a), rows)  # noqa: E731
+        else:
+            place = jnp.asarray
+        self._train = (place(xtr), place(ytr), place(wtr))
+        self._val = (place(xval), place(yval), place(wval))
         self._compiled: Dict[tuple, "jax.stages.Wrapped"] = {}
         self._eval_count = 0
         self.timings: List[Dict] = []

@@ -92,3 +92,118 @@ def test_population_evaluator_on_mesh():
     assert arr.shape == (8, 3)
     assert np.isfinite(arr).all()
     assert (arr[:, 1] > 0).all()  # sizes positive
+
+
+def test_graft_dryrun_bare_subprocess():
+    """Simulate the DRIVER's invocation exactly: fresh process, session env
+    (JAX_PLATFORMS=axon, no XLA_FLAGS device-count escape hatch), direct
+    import + call. dryrun_multichip must force the CPU backend itself
+    (VERDICT r1 item 1 — MULTICHIP_r01 was ok=false for lack of this)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "axon"  # the session default the driver runs under
+    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
+
+
+def test_data_axis_sharding_matches_replicated():
+    """Batch sharded over the 'data' mesh axis == replicated run (SURVEY
+    §2.3 'sharding the training batch'). XLA inserts the gradient psum;
+    results must agree to reduction-order tolerance."""
+    import __graft_entry__ as ge
+    import jax.numpy as jnp
+    from cmoop_audio_processing_tpu.engine.trainer import (
+        TrainSettings, make_population_trainer, pad_dataset,
+    )
+
+    pop = 4
+    spec, params, state, flags = ge._tiny_setup(pop)
+    settings = TrainSettings(
+        epochs=3, batch_size=8, patience=3, eval_batch_size=8,
+        parallel_impl="vmap",
+    )
+    rng = np.random.default_rng(0)
+    xtr, ytr, wtr = pad_dataset(
+        rng.standard_normal((16, 12, 9, 1)).astype(np.float32),
+        rng.integers(0, 10, 16).astype(np.int32), settings.batch_size)
+    xval, yval, wval = pad_dataset(
+        rng.standard_normal((8, 12, 9, 1)).astype(np.float32),
+        rng.integers(0, 10, 8).astype(np.int32), settings.eval_batch_size)
+    raw = (xtr, ytr, wtr, xval, yval, wval)
+    trainer = make_population_trainer(spec, settings, num_classes=10)
+    key = jax.random.key(1)
+
+    # reference: single-device (default placement)
+    ref = jax.tree.map(
+        np.asarray, jax.jit(trainer.train)(params, state, flags, *raw, key))
+
+    # sharded: (2 pop x 4 data) mesh, batch rows sharded over 'data'
+    mesh = population_mesh(2, 4)
+    p_s = shard_population(params, mesh)
+    s_s = shard_population(state, mesh)
+    f_s = shard_population(flags, mesh)
+    rows = batch_sharding(mesh)
+    data = [jax.device_put(jnp.asarray(a), rows) for a in raw]
+    out = jax.tree.map(
+        np.asarray, jax.jit(trainer.train)(p_s, s_s, f_s, *data, key))
+
+    for k in ("acc_eval", "acc_last", "fpr", "val_loss", "epochs_ran"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_distributed_init_noop_single_process():
+    from cmoop_audio_processing_tpu.parallel.mesh import distributed_init
+
+    # both single-process spellings are explicit no-ops
+    assert distributed_init() is None
+    assert distributed_init(num_processes=1, process_id=0) is None
+
+
+def test_population_evaluator_data_mesh_matches_no_mesh():
+    """Evaluator on a (4 pop x 2 data) mesh == plain single-device run:
+    same genome-keyed inits, batch rows sharded over 'data'."""
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.core.genome import all_genomes
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=64, synthetic_eval=32, time_steps=12,
+                   features=8, num_classes=4)
+    )
+    cfg = TrainConfig(
+        epochs=2, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32", parallel_impl="vmap",
+    )
+    genomes = [g for g in all_genomes()
+               if g["filters"] == 16 and g["kernel_size"] == 3][:4]
+
+    ref = np.asarray(PopulationEvaluator(data, cfg).evaluate(genomes, seed=0))
+    mesh = population_mesh(4, 2)
+    out = np.asarray(
+        PopulationEvaluator(data, cfg, mesh=mesh).evaluate(genomes, seed=0))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_population_evaluator_data_mesh_rejects_bad_batch():
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=16, synthetic_eval=8, time_steps=12,
+                   features=8, num_classes=4)
+    )
+    cfg = TrainConfig(epochs=1, batch_size=3, patience=1, num_classes=4)
+    with pytest.raises(ValueError, match="data"):
+        PopulationEvaluator(data, cfg, mesh=population_mesh(4, 2))
