@@ -7,8 +7,11 @@ Reference semantics (mobo_penalty.py:252-287):
 * penalized_acquisition over candidate vectors in [0,1]^6:
   -sum_i(mu_f_i + lam * mu_CV) — maximize the negative penalized sum.
 
-The candidate batch (500 x 6) is scored as ONE device program: all GP
-predicts are matmuls against cached Cholesky solves.
+Host/device split: the GP FITS are one batched device program
+(fit_gp_multi); candidate SCORING is one vectorized float64 host pass with
+the candidate<->archive distance matrix shared across all models
+(gp.predict_gps_shared_x) — TPUs have no native f64 and at 500 x archive
+scale a device launch would cost more than the matmul it performs.
 
 LCB (mu - k*sigma) used by the Lamarckian local search
 (sa_nsga_local.py:368-371) also lives here.
@@ -21,7 +24,7 @@ from typing import List, Sequence
 import jax
 import numpy as np
 
-from .gp import GPConfig, GPState, fit_gp_multi, predict_gp
+from .gp import GPConfig, GPState, fit_gp_multi, predict_gps_shared_x
 
 MOBO_GP_CONFIG = GPConfig(
     nu=2.5,
@@ -46,9 +49,10 @@ def train_gps(x: np.ndarray, y: np.ndarray, seed: int = 0) -> List[GPState]:
 
 
 def predict_gps(models: Sequence[GPState], x: np.ndarray) -> np.ndarray:
-    """(n_samples, n_models) predicted means (mobo_penalty.py:265-273)."""
-    preds = [predict_gp(m, x, MOBO_GP_CONFIG) for m in models]
-    return np.stack(preds, axis=1)
+    """(n_samples, n_models) predicted means (mobo_penalty.py:265-273).
+    All models share the archive's feature matrix, so the distance matrix is
+    computed once."""
+    return predict_gps_shared_x(list(models), x, MOBO_GP_CONFIG)
 
 
 def penalized_acquisition(
@@ -58,9 +62,10 @@ def penalized_acquisition(
     lam: float,
 ) -> np.ndarray:
     """Negative penalized sum (maximize) over candidates
-    (mobo_penalty.py:275-287)."""
-    obj_mu = predict_gps(obj_gps, x_candidates)  # (n, n_obj)
-    cv_mu = predict_gps([cv_gp], x_candidates)[:, 0]
+    (mobo_penalty.py:275-287). One shared-distance scoring pass covers the
+    objective GPs and the CV GP together."""
+    mu = predict_gps(list(obj_gps) + [cv_gp], x_candidates)  # (n, n_obj+1)
+    obj_mu, cv_mu = mu[:, :-1], mu[:, -1]
     penalized = obj_mu + lam * cv_mu.reshape(-1, 1)
     return -np.sum(penalized, axis=1)
 

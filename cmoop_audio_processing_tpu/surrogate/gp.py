@@ -322,8 +322,8 @@ def fit_gp_multi(
     return states
 
 
-def _np_kernel(x1: np.ndarray, x2: np.ndarray, log_c, log_l, nu) -> np.ndarray:
-    """float64 host kernel, same closed forms as kernels.matern."""
+def _np_pdist(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """(N, M) float64 pairwise Euclidean distances."""
     x1 = np.asarray(x1, np.float64)
     x2 = np.asarray(x2, np.float64)
     d2 = (
@@ -331,7 +331,11 @@ def _np_kernel(x1: np.ndarray, x2: np.ndarray, log_c, log_l, nu) -> np.ndarray:
         + (x2 ** 2).sum(1)[None, :]
         - 2.0 * x1 @ x2.T
     )
-    d = np.sqrt(np.maximum(d2, 0.0)) / np.exp(log_l)
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def _np_kernel_from_dist(dist: np.ndarray, log_c, log_l, nu) -> np.ndarray:
+    d = dist / np.exp(log_l)
     if nu == 0.5:
         k = np.exp(-d)
     elif nu == 1.5:
@@ -343,6 +347,11 @@ def _np_kernel(x1: np.ndarray, x2: np.ndarray, log_c, log_l, nu) -> np.ndarray:
     else:
         raise ValueError(f"unsupported nu={nu}")
     return np.exp(log_c) * k
+
+
+def _np_kernel(x1: np.ndarray, x2: np.ndarray, log_c, log_l, nu) -> np.ndarray:
+    """float64 host kernel, same closed forms as kernels.matern."""
+    return _np_kernel_from_dist(_np_pdist(x1, x2), log_c, log_l, nu)
 
 
 def predict_gp(
@@ -367,3 +376,29 @@ def predict_gp(
     var = prior_diag - (v ** 2).sum(axis=0)
     std = np.sqrt(np.maximum(var, 0.0)) * float(state.y_std)
     return mean, std
+
+
+def predict_gps_shared_x(
+    states, xq: np.ndarray, cfg: GPConfig = GPConfig()
+) -> np.ndarray:
+    """(M, n_models) posterior means for GPs fit on the SAME training inputs.
+
+    The per-model kernel differs only through (log_c, log_l), so the
+    candidate<->archive distance matrix — the dominant cost — is computed
+    once and shared across models. Host float64 on purpose: TPUs have no
+    native f64 and these are tiny (candidates x archive) matmuls, so a
+    device launch would cost more than it saves; the heavy stage (the
+    multi-restart NLL fits) is what runs on device (fit_gp_multi).
+    """
+    xq = np.asarray(xq, np.float64)
+    x0 = np.asarray(states[0].x)
+    dist = _np_pdist(x0, xq)  # (N, M), shared
+    cols = []
+    for st in states:
+        if st.x.shape != x0.shape or not np.array_equal(st.x, x0):
+            # different training sets: no sharing possible
+            cols.append(predict_gp(st, xq, cfg))
+            continue
+        ks = _np_kernel_from_dist(dist, st.log_c, st.log_l, cfg.nu)
+        cols.append(ks.T @ st.alpha * float(st.y_std) + float(st.y_mean))
+    return np.stack(cols, axis=1)

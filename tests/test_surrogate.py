@@ -199,3 +199,26 @@ def test_fit_gp_multi_matches_sequential():
             predict_gp(st, xq, cfg), predict_gp(solo, xq, cfg),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_predict_gps_shared_x_matches_per_model_predict():
+    """The shared-distance batched predict is numerically identical to
+    per-model predict_gp (same float64 math, distance computed once)."""
+    from cmoop_audio_processing_tpu.surrogate.acquisition import (
+        MOBO_GP_CONFIG,
+        train_gps,
+    )
+    from cmoop_audio_processing_tpu.surrogate.gp import (
+        predict_gp,
+        predict_gps_shared_x,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (24, 6))
+    y = np.stack([x.sum(1), (x ** 2).sum(1), np.sin(x[:, 0] * 3)], axis=1)
+    gps = train_gps(x, y, seed=0)
+    xq = rng.uniform(0, 1, (50, 6))
+    batched = predict_gps_shared_x(gps, xq, MOBO_GP_CONFIG)
+    for d, gp in enumerate(gps):
+        np.testing.assert_allclose(
+            batched[:, d], predict_gp(gp, xq, MOBO_GP_CONFIG), rtol=1e-12)
