@@ -124,11 +124,36 @@ def main() -> int:
         serial_mode = "extrapolated"
     serial_rate = 3600.0 * pop_size / serial_seconds
 
+    # --- hardware FLOPs / MFU (analytic, lockstep-executed work) ---
+    # The masked supernet executes every bucket's MAX configuration (all 3
+    # blocks + full FC chain) for every padded lane until the slowest lane
+    # stops; that is the hardware work the chip actually performed.
+    from cmoop_audio_processing_tpu.models.genome_arch import count_fwd_flops
+
+    n_train_pad = ((data["x_train"].shape[0] + 63) // 64) * 64
+    n_val_pad = ((data["x_val"].shape[0] + 255) // 256) * 256
+    hw = data["x_train"].shape[1:3]
+    executed = 0.0
+    for ch in ev.timings[-1]["chunks"]:
+        gmax = {
+            "filters": ch["filters"], "kernel_size": ch["kernel"],
+            "use_bn": True, "residual_blocks": 3, "fc_layers": 4,
+            "use_dropout": False,
+        }
+        fwd = count_fwd_flops(gmax, hw, 10, ev.cfg.template)
+        max_ep = max(ch["epochs"])
+        # per lane-epoch: fwd+bwd over the train set + one val forward pass
+        executed += ch["pop"] * max_ep * (3 * fwd * n_train_pad + fwd * n_val_pad)
+    peak = {"TPU v5 lite": 197e12}.get(jax.devices()[0].device_kind, 197e12)
+    if dtype == "float32":
+        peak /= 4  # v5e f32 matmuls run at ~1/4 the bf16 MXU rate
+    mfu = executed / pop_seconds / peak
+
     # BASELINE.json's second named metric: MFCC frames/sec/chip through the
     # fused Pallas frontend (batch of 1-second clips)
     import jax.numpy as jnp
 
-    from cmoop_audio_processing_tpu.frontend.features import FrontendConfig
+    from cmoop_audio_processing_tpu.frontend.features import FrontendConfig, mfcc
     from cmoop_audio_processing_tpu.frontend.pallas_kernels import mfcc_fused
 
     fcfg = FrontendConfig()
@@ -143,18 +168,32 @@ def main() -> int:
     mfcc_seconds = time.perf_counter() - t0
     mfcc_fps = n_frames_total / mfcc_seconds
 
+    # Pallas-vs-XLA parity is part of the bench contract: a Mosaic/XLA
+    # regression surfaces here as a hard failure, not silently (dB units)
+    pallas_max_diff = float(
+        jnp.max(jnp.abs(feats - mfcc(clips, fcfg)))
+    )
+    assert pallas_max_diff < 0.05, (
+        f"fused Pallas MFCC drifted from the XLA path: {pallas_max_diff} dB"
+    )
+
     result = {
         "metric": "candidate_evals_per_hour",
         "value": round(pop_rate, 1),
         "unit": "evals/h",
         "vs_baseline": round(pop_rate / serial_rate, 2),
         "mfcc_frames_per_sec": round(mfcc_fps, 0),
+        "train_tflops_per_sec": round(executed / pop_seconds / 1e12, 2),
+        "mfu": round(mfu, 4),
+        "pallas_max_diff_db": round(pallas_max_diff, 6),
     }
     # detail for humans on stderr; the contract line on stdout
     print(
         f"population: {pop_size} evals in {pop_seconds:.1f}s ({pop_rate:.0f}/h); "
         f"serial[{serial_mode}]: {serial_seconds:.1f}s ({serial_rate:.0f}/h); "
-        f"mfcc: {mfcc_fps:.0f} frames/s; "
+        f"executed {executed/1e12:.2f} TFLOP, {executed/pop_seconds/1e12:.2f} TFLOP/s, "
+        f"MFU {mfu:.1%}; mfcc: {mfcc_fps:.0f} frames/s "
+        f"(pallas diff {pallas_max_diff:.2e} dB); "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

@@ -31,7 +31,7 @@ import numpy as np
 from ..core.config import TrainConfig
 from ..core.genome import Genome, genome_key, validate
 from ..models.genome_arch import model_size_mb
-from ..models.supernet import BucketSpec, init_population_keys
+from ..models.supernet import BucketSpec
 from .trainer import (
     TrainSettings,
     gather_lanes,
@@ -151,6 +151,11 @@ class PopulationEvaluator:
             buckets.setdefault(key, []).append(i)
 
         results: List[Optional[Fitness]] = [None] * len(genomes)
+        # Two-pass async dispatch: every bucket's program chain (device init
+        # -> train while_loop -> finalize) is LAUNCHED before any result is
+        # materialized, so the per-launch dispatch latency (~0.2 s through a
+        # remote-TPU tunnel) overlaps across buckets instead of summing.
+        pending = []
         for bkey, idxs in buckets.items():
             f, k = int(bkey[0]), int(bkey[1])
             spec = self._bucket_spec(f, k)
@@ -165,17 +170,32 @@ class PopulationEvaluator:
                 padded = list(chunk) + [chunk[0]] * (
                     _next_pow2(max(len(chunk), 1)) - len(chunk)
                 )
-                fits = self._run_bucket(spec, padded, seed)
-                for j, gi in enumerate(chunk_idx):
-                    g = genomes[gi]
-                    acc, fpr = fits["acc"][j], fits["fpr"][j]
-                    size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
-                    results[gi] = (float(acc), float(size), float(fpr))
+                pending.append(
+                    (chunk_idx, self._run_bucket(spec, padded, seed))
+                )
+        chunk_records = []
+        for chunk_idx, fits in pending:
+            fits = jax.tree.map(np.asarray, fits)  # blocks; all in flight
+            for j, gi in enumerate(chunk_idx):
+                g = genomes[gi]
+                acc, fpr = fits["acc"][j], fits["fpr"][j]
+                size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
+                results[gi] = (float(acc), float(size), float(fpr))
+            g0 = genomes[chunk_idx[0]]
+            chunk_records.append({
+                "filters": int(g0["filters"]),
+                "kernel": int(g0["kernel_size"]),
+                "pop": int(np.shape(fits["acc"])[0]),
+                "epochs": [int(e) for e in fits["epochs"]],
+            })
         self.timings.append(
             {
                 "n_genomes": len(genomes),
                 "n_buckets": len(buckets),
                 "seconds": time.perf_counter() - t0,
+                # per-chunk execution shape for FLOPs/MFU accounting:
+                # lockstep bills every (padded) lane until the slowest stops
+                "chunks": chunk_records,
             }
         )
         self._eval_count += len(genomes)
@@ -188,13 +208,29 @@ class PopulationEvaluator:
         # regardless of how the population is bucketed/batched, so population
         # and serial execution train identical models (and re-evaluations are
         # idempotent, matching the surrogate archive's keep-last dedup).
-        init_keys = [
+        init_keys = jnp.stack([
             jax.random.fold_in(
                 jax.random.key(seed), zlib.crc32(str(genome_key(g)).encode())
             )
             for g in padded
-        ]
-        params, state, flags = init_population_keys(init_keys, spec, padded)
+        ])
+        # whole-population init is ONE device launch; flag arrays are cheap
+        # host numpy
+        from ..models.supernet import (
+            FLAG_NAMES,
+            flags_from_genome,
+            init_population_device,
+        )
+
+        flags = {
+            name: jnp.asarray(
+                np.stack([flags_from_genome(g)[name] for g in padded])
+            )
+            for name in FLAG_NAMES
+        }
+        params, state = init_population_device(
+            init_keys, flags["n_blocks"], flags["fc_entry"], spec
+        )
         if self.mesh is not None:
             params, state, flags = self._shard_population(params, state, flags)
         # shuffle/dropout stream depends only on the run seed, keeping
@@ -218,10 +254,12 @@ class PopulationEvaluator:
                 jnp.asarray(self.settings.epochs, jnp.int32),
             )
             out = trainer.finalize(carry, xval, yval, wval)
+            # device arrays on purpose: evaluate() materializes AFTER every
+            # bucket's programs are dispatched (async launch overlap)
             return {
-                "acc": np.asarray(out[acc_key]),
-                "fpr": np.asarray(out["fpr"]),
-                "epochs": np.asarray(out["epochs_ran"]),
+                "acc": out[acc_key],
+                "fpr": out["fpr"],
+                "epochs": out["epochs_ran"],
             }
 
         # Chunked execution with lane compaction: between chunks, lanes whose

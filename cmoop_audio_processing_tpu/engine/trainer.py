@@ -174,7 +174,13 @@ def make_population_trainer(
             )
         else:
             P = flags["n_blocks"].shape[0]
-            dkeys = jax.random.split(dkey, P)
+            # per-lane dropout keys are folded from the genome-identity uid,
+            # NOT the lane position: training randomness is then invariant
+            # to bucketing, padding, and lane compaction
+            uids = flags.get("uid")
+            if uids is None:
+                uids = jnp.arange(P, dtype=jnp.uint32)
+            dkeys = jax.vmap(lambda u: jax.random.fold_in(dkey, u))(uids)
             logits, new_state = jax.vmap(
                 lambda p, s, f, k: apply_model(
                     spec, p, s, f, xb, train=True, dropout_key=k

@@ -92,6 +92,64 @@ def model_size_mb(genome: Genome, num_classes: int, template: str = TEMPLATE_A) 
     return count_params(genome, num_classes, template) * 4 / (1024 ** 2)
 
 
+def _ceil_half(n: int) -> int:
+    return (n + 1) // 2  # SAME-padded stride-2 output length
+
+
+def count_fwd_flops(
+    genome: Genome,
+    input_hw: tuple,
+    num_classes: int,
+    template: str = TEMPLATE_A,
+) -> int:
+    """Matmul/conv FLOPs (2*MACs) of ONE forward pass per sample.
+
+    Standard MFU accounting: only the MXU work (convs + dense layers) is
+    counted; BN/ReLU/pool elementwise traffic is excluded. Spatial dims
+    follow the reference templates exactly (SAME padding, stride-2 pools
+    after the stem and inside every block)."""
+    f = int(genome["filters"])
+    k = int(genome["kernel_size"])
+    n_blocks = int(genome["residual_blocks"])
+    h, w = int(input_hw[0]), int(input_hw[1])
+
+    def conv_flops(k_, cin, cout, hh, ww):
+        return 2 * k_ * k_ * cin * cout * hh * ww
+
+    total = conv_flops(k, 1, f, h, w)  # stem conv 1
+    if template == TEMPLATE_A:
+        total += conv_flops(k, f, f, h, w)  # stem conv 2
+    h, w = _ceil_half(h), _ceil_half(w)  # stem pool
+
+    c = f
+    for _ in range(n_blocks):
+        c2 = 2 * c
+        h2, w2 = _ceil_half(h), _ceil_half(w)
+        total += conv_flops(1, c, c2, h2, w2)  # stride-2 skip projection
+        total += conv_flops(k, c, c2, h, w)  # block conv (pre-pool)
+        if template == TEMPLATE_A:
+            total += conv_flops(k, c2, c2, h, w)  # second block conv
+        c, h, w = c2, h2, w2
+
+    d = c  # GAP output width
+    for units in FC_CONFIGS[int(genome["fc_layers"])]:
+        total += 2 * d * units
+        d = units
+    total += 2 * d * num_classes
+    return total
+
+
+def count_train_flops_per_sample(
+    genome: Genome,
+    input_hw: tuple,
+    num_classes: int,
+    template: str = TEMPLATE_A,
+) -> int:
+    """One training step's FLOPs per sample: forward + backward ~= 3x the
+    forward pass (activation grads + weight grads each cost ~1 forward)."""
+    return 3 * count_fwd_flops(genome, input_hw, num_classes, template)
+
+
 def describe(genome: Genome, num_classes: int, template: str = TEMPLATE_A) -> Dict:
     """Human/debug summary of the concrete architecture a genome induces."""
     f = int(genome["filters"])

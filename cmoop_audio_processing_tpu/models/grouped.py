@@ -90,12 +90,19 @@ def _bn_grouped(x, p, st, use_bn, pop, train):
     return jnp.where(mask, xn, x), new_state
 
 
-def _dropout_grouped(x, rate, use_dropout, train, key):
-    """x: (B, pop, U); use_dropout: (pop,)."""
+def _dropout_grouped(x, rate, use_dropout, train, lane_keys):
+    """x: (B, pop, U); use_dropout: (pop,); lane_keys: (pop,) per-lane keys.
+
+    Draws each lane's (B, U) mask from its own key — the SAME stream
+    ``supernet._dropout`` consumes under vmap, so grouped and vmapped
+    training are bitwise-identical even with dropout active."""
     if not train or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape).astype(x.dtype) / keep
+    mask = jax.vmap(
+        lambda k: jax.random.bernoulli(k, keep, (x.shape[0], x.shape[2]))
+    )(lane_keys).astype(x.dtype) / keep
+    mask = jnp.transpose(mask, (1, 0, 2))  # (pop, B, U) -> (B, pop, U)
     return jnp.where(use_dropout[None, :, None], x * mask, x)
 
 
@@ -183,7 +190,13 @@ def apply_population(
     use_do = flags["use_dropout"]
     if dropout_key is None:
         dropout_key = jax.random.key(0)
-    dkeys = jax.random.split(dropout_key, 4)
+    # per-lane streams keyed by genome uid (falls back to lane position),
+    # matching vmap(apply_model)'s fold_in(key, uid) -> split(., 4) exactly
+    uids = flags.get("uid")
+    if uids is None:
+        uids = jnp.arange(pop, dtype=jnp.uint32)
+    lane_keys = jax.vmap(lambda u: jax.random.fold_in(dropout_key, u))(uids)
+    lane_layer_keys = jax.vmap(lambda k: jax.random.split(k, 4))(lane_keys)
     act = jnp.zeros((b_sz, pop, FC_WIDTHS[0]), jnp.float32)
     for li, units in enumerate(FC_WIDTHS, start=1):
         layer = params["fc"][f"fc{li}"]
@@ -200,7 +213,9 @@ def apply_population(
             )
             z = jnp.where(sel, from_gap, from_prev) + layer["b"][None]
         act = jax.nn.relu(z)
-        act = _dropout_grouped(act, spec.dropout_rate, use_do, train, dkeys[li - 1])
+        act = _dropout_grouped(
+            act, spec.dropout_rate, use_do, train, lane_layer_keys[:, li - 1]
+        )
 
     logits = (
         jnp.einsum(

@@ -30,6 +30,7 @@ reference's Keras models so training dynamics are faithful.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -65,13 +66,26 @@ class BucketSpec:
         return tuple((f * 2 ** i, f * 2 ** (i + 1)) for i in range(3))
 
 
+FLAG_NAMES = ("n_blocks", "fc_entry", "use_bn", "use_dropout", "uid")
+
+
 def flags_from_genome(genome: Genome) -> Dict[str, np.ndarray]:
-    """Per-individual dynamic flags (everything not in the bucket key)."""
+    """Per-individual dynamic flags (everything not in the bucket key).
+
+    ``uid`` is a genome-identity hash used to key the per-lane dropout
+    stream: a model's training randomness is then a function of (run seed,
+    genome) alone — invariant to its position in the population, the bucket's
+    padded size, and lane compaction (engine/evaluator.py)."""
+    import zlib
+
+    from ..core.genome import genome_key
+
     return {
         "n_blocks": np.int32(genome["residual_blocks"]),
         "fc_entry": np.int32(5 - genome["fc_layers"]),
         "use_bn": np.bool_(genome["use_bn"]),
         "use_dropout": np.bool_(genome["use_dropout"]),
+        "uid": np.uint32(zlib.crc32(str(genome_key(genome)).encode())),
     }
 
 
@@ -317,6 +331,84 @@ def apply_model(
     return logits, new_state
 
 
+def _init_params_traced(key, n_blocks, fc_entry, spec: BucketSpec):
+    """init_params with the flag genes as TRACED scalars, so one compiled
+    program initializes any genome of the bucket.
+
+    Same layer structure and Keras-default distributions as ``init_params``
+    (Glorot-uniform kernels with the genome's true fan-in on the FC entry
+    layer, zeros elsewhere); the PRNG stream differs (keys are folded per
+    layer slot instead of drawn from a sequential iterator, which cannot be
+    traced when the entry layer is dynamic). Each genome remains a
+    deterministic function of (key, flags).
+    """
+    f, k = spec.filters, spec.kernel
+    kid = iter(range(100))  # static per-layer fold constants
+
+    def nk():
+        return jax.random.fold_in(key, next(kid))
+
+    params: Dict = {}
+    state: Dict = {}
+    params["stem1"] = _conv_init(nk(), k, 1, f)
+    params["stem1_bn"] = _bn_init(f)
+    state["stem1_bn"] = _bn_state_init(f)
+    if spec.template == "A":
+        params["stem2"] = _conv_init(nk(), k, f, f)
+        params["stem2_bn"] = _bn_init(f)
+        state["stem2_bn"] = _bn_state_init(f)
+
+    for i, (c_in, c_out) in enumerate(spec.block_channels):
+        blk: Dict = {
+            "skip": _conv_init(nk(), 1, c_in, c_out),
+            "conv1": _conv_init(nk(), k, c_in, c_out),
+            "conv1_bn": _bn_init(c_out),
+        }
+        state[f"block{i}_conv1_bn"] = _bn_state_init(c_out)
+        if spec.template == "A":
+            blk["conv2"] = _conv_init(nk(), k, c_out, c_out)
+            blk["conv2_bn"] = _bn_init(c_out)
+            state[f"block{i}_conv2_bn"] = _bn_state_init(c_out)
+        params[f"block{i}"] = blk
+
+    gap_w = spec.gap_width
+    active_gap = f * jnp.left_shift(1, n_blocks)  # f * 2**n_blocks, traced
+    fc: Dict = {}
+    for li, units in enumerate(FC_WIDTHS, start=1):
+        layer: Dict = {"b": jnp.zeros((units,), jnp.float32)}
+        # entry layer: Glorot with the genome's true (dynamic) fan-in on the
+        # active rows, zeros elsewhere and on non-entry layers
+        limit = jnp.sqrt(6.0 / (active_gap.astype(jnp.float32) + units))
+        u = jax.random.uniform(nk(), (gap_w, units), jnp.float32, -1.0, 1.0)
+        row_active = (jnp.arange(gap_w) < active_gap)[:, None]
+        layer["wg"] = jnp.where(
+            (li == fc_entry) & row_active, u * limit, 0.0
+        )
+        if li > 1:
+            prev = FC_WIDTHS[li - 2]
+            wp = _glorot(nk(), (prev, units), prev, units)
+            layer["wp"] = jnp.where(li > fc_entry, wp, 0.0)
+        fc[f"fc{li}"] = layer
+    params["fc"] = fc
+    params["out"] = {
+        "w": _glorot(nk(), (FC_WIDTHS[-1], spec.num_classes), FC_WIDTHS[-1],
+                     spec.num_classes),
+        "b": jnp.zeros((spec.num_classes,), jnp.float32),
+    }
+    return params, state
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def init_population_device(keys, n_blocks, fc_entry, spec: BucketSpec):
+    """Whole-population init as ONE device program (keys/flags stacked with a
+    leading pop axis). The unjitted per-genome init costs ~0.7 s of
+    host<->device ping-pong per bucket through a remote-TPU tunnel; this is
+    a single launch."""
+    return jax.vmap(lambda k_, nb, fe: _init_params_traced(k_, nb, fe, spec))(
+        keys, n_blocks, fc_entry
+    )
+
+
 def init_population_keys(keys, spec: BucketSpec, genomes):
     """init_population with one explicit PRNG key per genome."""
     all_params, all_states = [], []
@@ -327,7 +419,7 @@ def init_population_keys(keys, spec: BucketSpec, genomes):
     stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
     flags = {
         name: jnp.asarray(np.stack([flags_from_genome(g)[name] for g in genomes]))
-        for name in ("n_blocks", "fc_entry", "use_bn", "use_dropout")
+        for name in FLAG_NAMES
     }
     return stack(all_params), stack(all_states), flags
 

@@ -1,7 +1,8 @@
 """Lane-compaction must not change results: chunked execution with
-compaction reproduces the one-shot program's fitness exactly (dropout-free
-genomes; RNG streams are keyed by global epoch so chunk boundaries are
-invisible to the math)."""
+compaction reproduces the one-shot program's fitness exactly — including
+with dropout active (shuffle streams are keyed by global epoch and dropout
+streams by genome uid, so chunk boundaries and lane positions are invisible
+to the math)."""
 
 import jax
 import numpy as np
@@ -66,3 +67,32 @@ def test_compaction_epochs_respected(data):
     ev = PopulationEvaluator(data, _cfg(4))
     fits = ev.evaluate(GENOMES[:2], seed=1)
     assert all(np.isfinite(np.asarray(fits)).all() for fits in fits)
+
+
+def test_compaction_matches_oneshot_with_dropout(data):
+    """Dropout streams are keyed by genome uid, not lane position, so
+    compaction remains exactly result-preserving with dropout ACTIVE."""
+    genomes = [dict(g, use_dropout=True) for g in GENOMES]
+    fits_oneshot = PopulationEvaluator(data, _cfg(0)).evaluate(genomes, seed=3)
+    fits_chunked = PopulationEvaluator(data, _cfg(3)).evaluate(genomes, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(fits_chunked), np.asarray(fits_oneshot), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_training_invariant_to_population_composition(data):
+    """A genome's fitness is a function of (genome, seed, dataset) alone:
+    evaluating it alone or inside a population of different genomes gives
+    the same result (genome-keyed init + uid-keyed dropout + shared
+    seed-keyed shuffle)."""
+    import dataclasses
+
+    target = dict(GENOMES[1], use_dropout=True)
+    others = [dict(g, use_dropout=True) for g in (GENOMES[0], GENOMES[2],
+                                                  GENOMES[3])]
+    cfg = dataclasses.replace(_cfg(0), parallel_impl="vmap")
+    alone = PopulationEvaluator(data, cfg).evaluate([target], seed=3)[0]
+    in_pop = PopulationEvaluator(data, cfg).evaluate(
+        others[:2] + [target] + others[2:], seed=3)[2]
+    np.testing.assert_allclose(np.asarray(in_pop), np.asarray(alone),
+                               rtol=1e-5, atol=1e-6)

@@ -159,3 +159,31 @@ def test_size_mb():
         "use_dropout": True,
     }
     assert arch.model_size_mb(g, 10) == pytest.approx(20058 * 4 / 1024 ** 2)
+
+
+def test_count_fwd_flops_hand_value_and_structure():
+    """FLOPs accounting (padded 2*MAC convention — what the MXU executes):
+    hand-computed value for a minimal genome, plus structural properties."""
+    from cmoop_audio_processing_tpu.models.genome_arch import count_fwd_flops
+
+    g = {"filters": 16, "kernel_size": 3, "use_bn": False,
+         "residual_blocks": 1, "fc_layers": 1, "use_dropout": False}
+    hw = (44, 13)
+    # stem conv: 2*3*3*1*16*44*13
+    stem = 2 * 9 * 1 * 16 * 44 * 13
+    # stem pool -> (22, 7); block: skip 1x1 s2 at (11, 4), conv 3x3 at (22, 7)
+    skip = 2 * 1 * 16 * 32 * 11 * 4
+    conv = 2 * 9 * 16 * 32 * 22 * 7
+    fc = 2 * 32 * 64 + 2 * 64 * 10  # GAP(32) -> Dense(64) -> Dense(10)
+    assert count_fwd_flops(g, hw, 10, "B") == stem + skip + conv + fc
+
+    # template A adds the second stem conv + second block conv
+    a = count_fwd_flops(g, hw, 10, "A")
+    assert a == (stem + 2 * 9 * 16 * 16 * 44 * 13 + skip + conv
+                 + 2 * 9 * 32 * 32 * 22 * 7 + fc)
+
+    # monotone in every compute-affecting gene
+    for gene, hi in [("filters", 64), ("kernel_size", 5),
+                     ("residual_blocks", 3), ("fc_layers", 4)]:
+        big = dict(g, **{gene: hi})
+        assert count_fwd_flops(big, hw, 10, "B") > count_fwd_flops(g, hw, 10, "B")

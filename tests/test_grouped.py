@@ -98,3 +98,25 @@ def test_grouped_trainer_matches_vmap_trainer():
     np.testing.assert_array_equal(
         results["grouped"]["epochs_ran"], results["vmap"]["epochs_ran"]
     )
+
+
+def test_grouped_equals_vmap_forward_with_dropout():
+    """Dropout ACTIVE: grouped and vmapped forwards draw identical per-lane
+    masks (both fold the genome uid into the step key), so they agree in
+    train mode too."""
+    genomes = [dict(g, use_dropout=True) for g in GENOMES]
+    spec = BucketSpec("A", 16, 3, num_classes=7, dropout_rate=0.3)
+    params, state, flags = init_population(jax.random.key(0), spec, genomes)
+    x = jax.random.normal(jax.random.key(1), (5, 20, 9, 1))
+    dkey = jax.random.key(2)
+
+    lane_keys = jax.vmap(lambda u: jax.random.fold_in(dkey, u))(flags["uid"])
+    want = jax.vmap(
+        lambda p, s, f, k: apply_model(spec, p, s, f, x, train=True,
+                                       dropout_key=k)
+    )(params, state, flags, lane_keys)
+    got = apply_population(spec, params, state, flags, x, train=True,
+                           dropout_key=dkey)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=2e-4, atol=2e-4
+    )

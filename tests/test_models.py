@@ -209,3 +209,52 @@ def test_vmap_population_matches_individual():
         s_i = jax.tree.map(lambda a: a[i], state)
         solo, _ = fwd(spec, p_i, s_i, g, x)
         np.testing.assert_allclose(np.asarray(vlogits)[i], solo, rtol=2e-5, atol=2e-5)
+
+
+def test_init_population_device_structure_and_masking():
+    """The one-launch device init matches init_params' structure and masking
+    semantics: identical pytree, zero rows outside the active GAP slice,
+    Glorot-scale entry rows, zero wp below the entry layer, determinism."""
+    from cmoop_audio_processing_tpu.models.supernet import (
+        flags_from_genome,
+        init_population_device,
+        init_params,
+    )
+
+    spec = BucketSpec("A", 16, 3, 7)
+    genomes = GENOMES[:4]
+    keys = jnp.stack([jax.random.key(i) for i in range(4)])
+    nb = jnp.asarray([g["residual_blocks"] for g in genomes], jnp.int32)
+    fe = jnp.asarray([5 - g["fc_layers"] for g in genomes], jnp.int32)
+    params, state = init_population_device(keys, nb, fe, spec)
+
+    ref_p, ref_s = init_params(jax.random.key(0), spec, genomes[0])
+    assert jax.tree.structure(jax.tree.map(lambda a: a[0], params)) == \
+        jax.tree.structure(ref_p)
+    assert jax.tree.structure(jax.tree.map(lambda a: a[0], state)) == \
+        jax.tree.structure(ref_s)
+
+    for i, g in enumerate(genomes):
+        entry = 5 - g["fc_layers"]
+        active_gap = g["filters"] * 2 ** g["residual_blocks"]
+        for li, units in enumerate((512, 256, 128, 64), start=1):
+            wg = np.asarray(params["fc"][f"fc{li}"]["wg"][i])
+            if li == entry:
+                assert np.abs(wg[:active_gap]).max() > 0
+                np.testing.assert_array_equal(wg[active_gap:], 0.0)
+                limit = np.sqrt(6.0 / (active_gap + units))
+                assert np.abs(wg).max() <= limit + 1e-6
+            else:
+                np.testing.assert_array_equal(wg, 0.0)
+            if li > 1:
+                wp = np.asarray(params["fc"][f"fc{li}"]["wp"][i])
+                if li > entry:
+                    assert np.abs(wp).max() > 0
+                else:
+                    np.testing.assert_array_equal(wp, 0.0)
+
+    # deterministic: same keys + flags -> bitwise identical population
+    params2, _ = init_population_device(keys, nb, fe, spec)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params2)
