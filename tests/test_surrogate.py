@@ -222,3 +222,51 @@ def test_predict_gps_shared_x_matches_per_model_predict():
     for d, gp in enumerate(gps):
         np.testing.assert_allclose(
             batched[:, d], predict_gp(gp, xq, MOBO_GP_CONFIG), rtol=1e-12)
+
+
+def test_gp_ranking_parity_on_archive_shaped_data():
+    """GP parity where it is notoriously flat (VERDICT r1 weak 6): the REAL
+    archive feature layout — integer numerics + one-hot boolean columns
+    (surrogate/manager.encode_features), near-duplicate rows (genomes
+    differing by one gene), an accuracy-shaped target. Ranking on held-out
+    genomes must track sklearn's."""
+    from scipy.stats import spearmanr
+    from sklearn.gaussian_process import GaussianProcessRegressor
+    from sklearn.gaussian_process.kernels import (
+        ConstantKernel as C,
+        Matern,
+        WhiteKernel,
+    )
+
+    from cmoop_audio_processing_tpu.core.genome import all_genomes
+    from cmoop_audio_processing_tpu.engine.evaluator import FakeEvaluator
+    from cmoop_audio_processing_tpu.surrogate.manager import encode_features
+
+    rng = np.random.default_rng(5)
+    genomes = all_genomes()
+    # archive-like sample: 50 genomes incl. adjacent (near-duplicate) pairs
+    idx = list(rng.choice(288, 40, replace=False)) + [0, 1, 2, 3, 288 - 1,
+                                                      288 - 2, 10, 11, 12, 13]
+    train_g = [genomes[i] for i in idx]
+    held_g = [genomes[i] for i in rng.choice(288, 40, replace=False)]
+    fe = FakeEvaluator()
+    y = np.array([fe.fitness(g)[0] for g in train_g])
+    y = -(y + 0.01 * rng.standard_normal(len(y)))  # neg_acc + eval noise
+
+    x = encode_features(train_g)
+    xq = encode_features(held_g)
+    # the manager's target scaling + kernel family (manager._refit)
+    mu_y, sd_y = y.mean(), max(y.std(), 1e-12)
+    y_n = (y - mu_y) / sd_y
+
+    sk = GaussianProcessRegressor(
+        kernel=C(1.0) * Matern(length_scale=1.0, nu=1.5) + WhiteKernel(0.1),
+        n_restarts_optimizer=5,
+    ).fit(x, y_n)
+    sk_mu = sk.predict(xq)
+
+    gp = fit_gp(x, y_n, GPConfig(nu=1.5, n_restarts=10))
+    mu = predict_gp(gp, xq, GPConfig(nu=1.5))
+
+    rho = spearmanr(sk_mu, mu).statistic
+    assert rho > 0.9, f"archive-shaped ranking diverged: spearman={rho}"
