@@ -130,8 +130,9 @@ def main() -> int:
     # stops; that is the hardware work the chip actually performed.
     from cmoop_audio_processing_tpu.models.genome_arch import count_fwd_flops
 
-    n_train_pad = ((data["x_train"].shape[0] + 63) // 64) * 64
-    n_val_pad = ((data["x_val"].shape[0] + 255) // 256) * 256
+    bs, ebs = ev.cfg.batch_size, ev.settings.eval_batch_size
+    n_train_pad = -(-data["x_train"].shape[0] // bs) * bs
+    n_val_pad = -(-data["x_val"].shape[0] // ebs) * ebs
     hw = data["x_train"].shape[1:3]
     executed = 0.0
     for ch in ev.timings[-1]["chunks"]:
@@ -140,13 +141,28 @@ def main() -> int:
             "use_bn": True, "residual_blocks": 3, "fc_layers": 4,
             "use_dropout": False,
         }
-        fwd = count_fwd_flops(gmax, hw, 10, ev.cfg.template)
-        max_ep = max(ch["epochs"])
+        fwd = count_fwd_flops(gmax, hw, ev.cfg.num_classes, ev.cfg.template)
+        if compaction:
+            # compaction drops stopped lanes between chunks; per-lane billed
+            # epochs approximate the executed work (slightly UNDER-counts the
+            # pre-eviction lockstep epochs inside each chunk)
+            lane_epochs = sum(ch["epochs"])
+        else:
+            # lockstep one-shot: every padded lane runs until the slowest stops
+            lane_epochs = ch["pop"] * max(ch["epochs"])
         # per lane-epoch: fwd+bwd over the train set + one val forward pass
-        executed += ch["pop"] * max_ep * (3 * fwd * n_train_pad + fwd * n_val_pad)
-    peak = {"TPU v5 lite": 197e12}.get(jax.devices()[0].device_kind, 197e12)
+        executed += lane_epochs * (3 * fwd * n_train_pad + fwd * n_val_pad)
+    # bf16 MXU peaks per chip; unknown devices get the v5e figure with a note
+    peaks = {"TPU v5 lite": 197e12, "TPU v4": 275e12, "TPU v5p": 459e12,
+             "TPU v6 lite": 918e12, "TPU v6e": 918e12}
+    kind = jax.devices()[0].device_kind
+    peak = peaks.get(kind)
+    if peak is None:
+        peak = 197e12
+        print(f"bench: unknown device {kind!r}; MFU uses the v5e bf16 peak",
+              file=sys.stderr)
     if dtype == "float32":
-        peak /= 4  # v5e f32 matmuls run at ~1/4 the bf16 MXU rate
+        peak /= 4  # f32 matmuls run at ~1/4 the bf16 MXU rate
     mfu = executed / pop_seconds / peak
 
     # BASELINE.json's second named metric: MFCC frames/sec/chip through the

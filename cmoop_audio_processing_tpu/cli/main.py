@@ -111,6 +111,10 @@ def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
         from ..parallel.mesh import population_mesh
 
         mesh = population_mesh(mesh_devices, mesh_data)
+    elif mesh_data > 1:
+        raise SystemExit(
+            "--mesh-data requires --mesh (total devices = mesh * mesh_data)"
+        )
     return PopulationEvaluator(data, cfg.train, mesh=mesh)
 
 

@@ -155,6 +155,10 @@ class PopulationEvaluator:
         # -> train while_loop -> finalize) is LAUNCHED before any result is
         # materialized, so the per-launch dispatch latency (~0.2 s through a
         # remote-TPU tunnel) overlaps across buckets instead of summing.
+        # Caveat: the compaction path (compaction_chunk>0) must materialize
+        # per-chunk stop masks inline, so those buckets synchronize inside
+        # the first pass — compaction trades dispatch overlap for dropped
+        # lanes, which only pays off for big buckets / long budgets (PERF.md).
         pending = []
         for bkey, idxs in buckets.items():
             f, k = int(bkey[0]), int(bkey[1])
@@ -216,18 +220,9 @@ class PopulationEvaluator:
         ])
         # whole-population init is ONE device launch; flag arrays are cheap
         # host numpy
-        from ..models.supernet import (
-            FLAG_NAMES,
-            flags_from_genome,
-            init_population_device,
-        )
+        from ..models.supernet import init_population_device, stack_flags
 
-        flags = {
-            name: jnp.asarray(
-                np.stack([flags_from_genome(g)[name] for g in padded])
-            )
-            for name in FLAG_NAMES
-        }
+        flags = stack_flags(padded)
         params, state = init_population_device(
             init_keys, flags["n_blocks"], flags["fc_entry"], spec
         )

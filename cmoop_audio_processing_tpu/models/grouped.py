@@ -190,8 +190,12 @@ def apply_population(
     use_do = flags["use_dropout"]
     if dropout_key is None:
         dropout_key = jax.random.key(0)
-    # per-lane streams keyed by genome uid (falls back to lane position),
-    # matching vmap(apply_model)'s fold_in(key, uid) -> split(., 4) exactly
+    # per-lane streams keyed by genome uid (falls back to lane position).
+    # Contract: matches the trainer's vmap path, which folds
+    # fold_in(step_key, uid) per lane BEFORE apply_model (trainer.pop_loss);
+    # apply_model itself then does split(lane_key, 4). Callers comparing
+    # grouped vs vmap(apply_model) directly must perform the same per-lane
+    # fold (see tests/test_grouped.py::test_grouped_equals_vmap_forward_with_dropout).
     uids = flags.get("uid")
     if uids is None:
         uids = jnp.arange(pop, dtype=jnp.uint32)

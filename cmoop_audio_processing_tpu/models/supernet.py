@@ -409,6 +409,16 @@ def init_population_device(keys, n_blocks, fc_entry, spec: BucketSpec):
     )
 
 
+def stack_flags(genomes) -> Dict[str, jnp.ndarray]:
+    """Stacked per-lane flag arrays for a (padded) population — the single
+    source of truth for the flag layout (FLAG_NAMES)."""
+    per = [flags_from_genome(g) for g in genomes]
+    return {
+        name: jnp.asarray(np.stack([f[name] for f in per]))
+        for name in FLAG_NAMES
+    }
+
+
 def init_population_keys(keys, spec: BucketSpec, genomes):
     """init_population with one explicit PRNG key per genome."""
     all_params, all_states = [], []
@@ -417,11 +427,7 @@ def init_population_keys(keys, spec: BucketSpec, genomes):
         all_params.append(p)
         all_states.append(s)
     stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-    flags = {
-        name: jnp.asarray(np.stack([flags_from_genome(g)[name] for g in genomes]))
-        for name in FLAG_NAMES
-    }
-    return stack(all_params), stack(all_states), flags
+    return stack(all_params), stack(all_states), stack_flags(genomes)
 
 
 def init_population(key, spec: BucketSpec, genomes):
