@@ -111,10 +111,6 @@ def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
         from ..parallel.mesh import population_mesh
 
         mesh = population_mesh(mesh_devices, mesh_data)
-    elif mesh_data > 1:
-        raise SystemExit(
-            "--mesh-data requires --mesh (total devices = mesh * mesh_data)"
-        )
     return PopulationEvaluator(data, cfg.train, mesh=mesh)
 
 
@@ -148,6 +144,10 @@ def main(argv: Optional[list] = None, preset: Optional[str] = None) -> int:
     if preset is not None:
         argv = ["--preset", preset] + list(argv if argv is not None else sys.argv[1:])
     args = build_parser().parse_args(argv)
+    if args.mesh_data > 1 and not args.mesh:
+        raise SystemExit(
+            "--mesh-data requires --mesh (total devices = mesh * mesh_data)"
+        )
     cfg = config_from_args(args)
     evaluator = make_evaluator(cfg, args.fake_eval, args.mesh, args.mesh_data)
     pareto, _ = run(cfg, evaluator, resume=args.resume)
