@@ -32,15 +32,43 @@ from ..core.genome import GENE_ORDER
 REQUIRED = ["Accuracy", "Size_MB", "FPR", *GENE_ORDER]
 
 
-def merge(paths, dedup: bool = False, limit: int | None = None) -> pd.DataFrame:
+def merge(paths, dedup: bool = False, limit: int | None = None,
+          interleave: bool = False) -> pd.DataFrame:
+    """Concatenate stage-1 fronts into the stage-2 seed table.
+
+    ``interleave`` picks rows round-robin across the fronts instead of
+    front-by-front, so a ``--limit`` keeps members of every bi-objective
+    front rather than exhausting the first file (the reference's manual
+    merge is unspecified; balanced selection keeps the 2-stage seed diverse
+    when the stage-2 population is smaller than the union)."""
     frames = []
     for path in paths:
-        df = pd.read_excel(path) if path.endswith((".xlsx", ".xls")) else pd.read_csv(path)
+        try:
+            df = pd.read_excel(path) if path.endswith((".xlsx", ".xls")) else pd.read_csv(path)
+        except pd.errors.EmptyDataError:
+            # An infeasible stage-1 run exports an empty front (the reference
+            # warns and continues, nsga_penalty.py:768-770); skip it.
+            print(f"psi-merge: {path} is empty (no feasible front), skipping",
+                  file=sys.stderr)
+            continue
         missing = [c for c in REQUIRED if c not in df.columns]
         if missing:
             raise ValueError(f"{path} missing columns {missing}")
+        if len(df) == 0:
+            print(f"psi-merge: {path} has no rows, skipping", file=sys.stderr)
+            continue
         frames.append(df[REQUIRED])
-    out = pd.concat(frames, ignore_index=True)
+    if not frames:
+        raise ValueError(f"no non-empty stage-1 fronts among {list(paths)}")
+    if interleave:
+        order = []
+        for i in range(max(len(f) for f in frames)):
+            for f in frames:
+                if i < len(f):
+                    order.append(f.iloc[i])
+        out = pd.DataFrame(order).reset_index(drop=True)
+    else:
+        out = pd.concat(frames, ignore_index=True)
     if dedup:
         out = out.drop_duplicates(subset=list(GENE_ORDER), keep="first")
     if limit is not None:
@@ -54,9 +82,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--dedup", action="store_true")
     p.add_argument("--limit", type=int)
+    p.add_argument("--interleave", action="store_true",
+                   help="pick rows round-robin across fronts (balanced seed)")
     args = p.parse_args(argv)
 
-    df = merge(args.fronts, args.dedup, args.limit)
+    df = merge(args.fronts, args.dedup, args.limit, args.interleave)
     if args.out.endswith((".xlsx", ".xls")):
         try:
             df.to_excel(args.out, index=False)

@@ -10,6 +10,7 @@ cache converges after the first generation of the first run.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT_DIR = os.path.join(
@@ -19,12 +20,39 @@ _DEFAULT_DIR = os.path.join(
 _enabled = False
 
 
+def _host_cpu_fingerprint() -> str:
+    """Stable fingerprint of the host CPU's ISA feature set.
+
+    XLA:CPU persists AOT-compiled machine code; an entry compiled on a host
+    with a different feature set (e.g. AMX/AVX-512 variants) loads with a
+    'machine type mismatch' warning and can produce subtly different
+    numerics or SIGILL. Keying the CPU cache by the feature set makes stale
+    cross-host entries unreachable instead of silently wrong."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
-    """Idempotently enable the JAX persistent compilation cache."""
+    """Idempotently enable the JAX persistent compilation cache.
+
+    TPU executables are portable serialized programs and live at the cache
+    root; the CPU backend (tests, dryruns) gets a host-keyed subdirectory
+    (see _host_cpu_fingerprint)."""
     global _enabled
     import jax
 
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    if not _enabled and jax.default_backend() == "cpu":
+        path = os.path.join(path, f"cpu-{_host_cpu_fingerprint()}")
     if not _enabled:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -1,0 +1,189 @@
+"""Distributional quality-parity harness: all 8 published method variants.
+
+The reference paper's quality claim (BASELINE.md / compare.ipynb cell-1
+outputs) is an ORDERING of 8 method variants by HV/IGD on one dataset — the
+2-stage (PSI) variants dominate plain SA-NSGA-II. The authors' front .xlsx
+files are not in the repo, so exact golden values are unreachable; this
+harness reproduces the comparison distributionally instead: seeded runs of
+every method preset with REAL candidate training on ONE shared synthetic
+KWS dataset (DataConfig defaults, data seed 1234), then the compare
+pipeline (cli/compare.py = compare.ipynb semantics) over the 8 fronts.
+
+    python examples/run_all8.py [--out /tmp/all8] [--pop 10] [--gen 8]
+        [--epochs 30] [--seed 7] [--fake-eval]
+
+Produces <out>/compare_report_all8.json; the committed copy at
+examples/compare_report_all8.json is pinned by
+tests/test_examples_artifacts.py::test_all8_report_reproduces_paper_ordering.
+
+Method -> preset map (BASELINE.md names on the left):
+
+    SA_NSGA-II            sa_nsga_penalty's algorithm constants (infill 0.2,
+                          template B; sa_nsga_penalty.py:114-124) re-hosted on
+                          the shared KWS dataset/constraints so all 8 fronts
+                          are comparable (the preset itself is BirdCLEF)
+    SA_NSGA-II_LS         sa_nsga_local
+    INIT_SA_NSGA-II       sa_nsga_init        (LHS init)
+    INIT_SA_NSGA-II_LS    init_sa_nsga_local  (memetic)
+    2_stage_SA_NSGA-II    psi_init_sa_nsga    (PSI seed from stage 1)
+    2_stage_SA-NSGA-II_LS psi_sa_nsga_local
+    MOBO                  mobo_penalty
+    2_stage_MOBO          psi_mobo_2
+
+Stage 1 (the PSI seed) is the three bi-objective presets
+(acc_size/acc_fpr/size_fpr_nsga_1) merged via cli/psi_merge — the merge the
+reference performed by hand (SURVEY.md §3.4).
+
+Everything runs sequentially in ONE process (one TPU attach; CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    # Forcing the backend must precede any jax API call; the env-var route
+    # is ignored by the axon plugin (CLAUDE.md).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from cmoop_audio_processing_tpu.cli import compare as compare_cli
+from cmoop_audio_processing_tpu.cli import psi_merge
+from cmoop_audio_processing_tpu.cli.main import make_evaluator, run
+from cmoop_audio_processing_tpu.core.config import (
+    Constraints,
+    DataConfig,
+    SearchConfig,
+    TrainConfig,
+    get_preset,
+)
+
+STAGE1 = ["acc_size_nsga_1", "acc_fpr_nsga_1", "size_fpr_nsga_1"]
+
+# method display name (compare.ipynb labels) -> (preset, needs_psi_seed)
+METHODS = [
+    ("SA_NSGA-II", "sa_nsga_penalty", False),
+    ("SA_NSGA-II_LS", "sa_nsga_local", False),
+    ("INIT_SA_NSGA-II", "sa_nsga_init", False),
+    ("INIT_SA_NSGA-II_LS", "init_sa_nsga_local", False),
+    ("2_stage_SA_NSGA-II", "psi_init_sa_nsga", True),
+    ("2_stage_SA-NSGA-II_LS", "psi_sa_nsga_local", True),
+    ("MOBO", "mobo_penalty", False),
+    ("2_stage_MOBO", "psi_mobo_2", True),
+]
+
+
+def build_cfg(preset: str, args, seed_file: str | None = None):
+    cfg = get_preset(preset)
+    if preset == "sa_nsga_penalty":
+        # Re-host the plain SA-NSGA-II algorithm on the shared KWS dataset so
+        # its front is comparable with the other 7 (see module docstring).
+        cfg = cfg.replace(
+            data=DataConfig(num_classes=10),
+            train=dataclasses.replace(cfg.train, num_classes=10),
+            search=dataclasses.replace(
+                cfg.search, constraints=Constraints(0.90, 2.5, 0.09)
+            ),
+        )
+    train = dataclasses.replace(cfg.train, epochs=args.epochs)
+    search = dataclasses.replace(
+        cfg.search, seed=args.seed, pop_size=args.pop, max_gen=args.gen,
+        psi_seed_file=seed_file if cfg.algorithm != "mobo" else None,
+    )
+    mobo = cfg.mobo
+    if mobo is not None:
+        mobo = dataclasses.replace(
+            mobo, seed=args.seed, initial_samples=args.pop,
+            max_iterations=args.gen * 3,  # ~match SA's per-gen infill budget
+            psi_seed_file=seed_file,
+        )
+    return cfg.replace(
+        data=dataclasses.replace(cfg.data, source="synthetic"),
+        train=train, search=search, mobo=mobo, output_dir=args.out,
+    )
+
+
+def run_one(cfg, args):
+    t0 = time.perf_counter()
+    evaluator = make_evaluator(cfg, args.fake_eval)
+    pareto, _ = run(cfg, evaluator)
+    wall = time.perf_counter() - t0
+    front = os.path.join(
+        args.out, cfg.name,
+        "mobo_pareto.csv" if cfg.algorithm == "mobo" else "final_pareto.csv",
+    )
+    print(f"[all8] {cfg.name}: {len(pareto)} front rows, {wall:.1f}s",
+          file=sys.stderr)
+    return front
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/all8")
+    p.add_argument("--pop", type=int, default=10)
+    p.add_argument("--gen", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--fake-eval", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (handled at import time)")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    # ---- stage 1: three bi-objective runs -> merged PSI seed -------------
+    stage1_fronts = [run_one(build_cfg(s, args), args) for s in STAGE1]
+    seed_file = os.path.join(args.out, "Final.csv")
+    psi_merge.merge(
+        stage1_fronts, dedup=True, limit=args.pop, interleave=True
+    ).to_csv(seed_file, index=False)
+    print(f"[all8] PSI seed merged -> {seed_file}", file=sys.stderr)
+
+    # ---- stage 2: the 8 method variants ----------------------------------
+    fronts = {}
+    for name, preset, needs_seed in METHODS:
+        cfg = build_cfg(preset, args, seed_file if needs_seed else None)
+        fronts[name] = run_one(cfg, args)
+
+    # ---- compare (compare.ipynb pipeline) ---------------------------------
+    report_path = os.path.join(args.out, "compare_report_all8.json")
+    compare_argv = []
+    for name, path in fronts.items():
+        compare_argv += ["--front", f"{name}={path}"]
+    compare_argv += ["--out", report_path,
+                     "--plots", os.path.join(args.out, "plots")]
+    compare_cli.main(compare_argv)
+
+    with open(report_path) as f:
+        rep = json.load(f)
+    sa_hv = rep["hypervolume"]["SA_NSGA-II"]
+    sa_igd = rep["igd"]["SA_NSGA-II"]
+    print("[all8] HV:", {k: round(v, 7) for k, v in rep["hypervolume"].items()},
+          file=sys.stderr)
+    print("[all8] IGD:", {k: round(v, 6) for k, v in rep["igd"].items()},
+          file=sys.stderr)
+    two_stage = ("2_stage_SA_NSGA-II", "2_stage_SA-NSGA-II_LS", "2_stage_MOBO")
+    present = [m for m in two_stage if m in rep["hypervolume"]]
+    missing = [m for m in two_stage if m not in rep["hypervolume"]]
+    if missing:
+        print(f"[all8] WARNING: empty/missing fronts for {missing} — "
+              f"ordering check incomplete", file=sys.stderr)
+    ok = bool(present) and all(
+        rep["hypervolume"][m] >= sa_hv and rep["igd"][m] <= sa_igd
+        for m in present
+    )
+    print(f"[all8] paper ordering (2-stage >= plain SA on HV and IGD): "
+          f"{'HOLDS' if ok and not missing else 'VIOLATED/INCOMPLETE'}",
+          file=sys.stderr)
+    return 0 if ok and not missing else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""Distributional quality-parity pin on the committed all-8 compare report.
+
+The reference paper's quality baseline is an ORDERING of 8 method variants
+by HV/IGD (BASELINE.md table, compare.ipynb cell-1 outputs): the 2-stage
+(PSI) variants dominate plain SA-NSGA-II. The authors' front files are not
+in their repo, so exact golden values are unreachable; the committed
+examples/compare_report_all8.json is a seeded real-training run of all 8
+presets on one shared synthetic KWS dataset (examples/run_all8.py), and this
+test pins that the published ordering reproduces there. Regenerate with:
+
+    python examples/run_all8.py --out /tmp/all8 --seed 7
+"""
+
+import json
+import os
+
+import pytest
+
+REPORT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples", "compare_report_all8.json",
+)
+
+METHODS = [
+    "SA_NSGA-II", "SA_NSGA-II_LS", "INIT_SA_NSGA-II", "INIT_SA_NSGA-II_LS",
+    "2_stage_SA_NSGA-II", "2_stage_SA-NSGA-II_LS", "MOBO", "2_stage_MOBO",
+]
+TWO_STAGE = ["2_stage_SA_NSGA-II", "2_stage_SA-NSGA-II_LS", "2_stage_MOBO"]
+
+
+@pytest.fixture(scope="module")
+def report():
+    if not os.path.exists(REPORT):
+        pytest.fail(f"committed artifact missing: {REPORT}")
+    with open(REPORT) as f:
+        return json.load(f)
+
+
+def test_all_eight_methods_have_nonempty_fronts(report):
+    for metric in ("hypervolume", "gd", "igd", "spread"):
+        assert sorted(report[metric]) == sorted(METHODS), metric
+
+
+def test_paper_ordering_two_stage_dominates_plain_sa(report):
+    """BASELINE.md: every 2-stage variant beats plain SA-NSGA-II on both HV
+    (higher) and IGD (lower) — the paper's headline quality claim."""
+    sa_hv = report["hypervolume"]["SA_NSGA-II"]
+    sa_igd = report["igd"]["SA_NSGA-II"]
+    for m in TWO_STAGE:
+        assert report["hypervolume"][m] >= sa_hv, m
+        assert report["igd"][m] <= sa_igd, m
+
+
+def test_two_stage_mobo_beats_plain_mobo(report):
+    """BASELINE.md: 2_stage_MOBO (best published HV) dominates plain MOBO on
+    both HV and IGD — the second ordering the paper reports."""
+    assert report["hypervolume"]["2_stage_MOBO"] >= report["hypervolume"]["MOBO"]
+    assert report["igd"]["2_stage_MOBO"] <= report["igd"]["MOBO"]
+
+
+def test_report_is_internally_consistent(report):
+    # reference point = per-axis union max + 1e-3 in minimize space; HV > 0
+    assert len(report["reference_point"]) == 3
+    assert report["true_front_size"] >= 1
+    for m in METHODS:
+        assert report["hypervolume"][m] >= 0.0
+        assert report["gd"][m] >= 0.0
+        assert report["igd"][m] >= 0.0

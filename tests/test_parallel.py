@@ -192,7 +192,18 @@ def test_population_evaluator_data_mesh_matches_no_mesh():
     mesh = population_mesh(4, 2)
     out = np.asarray(
         PopulationEvaluator(data, cfg, mesh=mesh).evaluate(genomes, seed=0))
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+    # Same inits, same shuffle stream, same arithmetic — but the data-axis
+    # grad psum reduces in a different order than the single-device sum, so
+    # trained params differ in the last ulps and a borderline val sample can
+    # flip its argmax (host-codegen dependent). Sizes must be exact; acc may
+    # move by at most ONE val-sample quantum (1/32) per model, fpr by the
+    # corresponding confusion-matrix flip.
+    np.testing.assert_array_equal(out[:, 1], ref[:, 1])
+    n_val = data["x_val"].shape[0]
+    assert np.all(np.abs(out[:, 0] - ref[:, 0]) <= 1.0 / n_val + 1e-7)
+    assert np.all(np.abs(out[:, 2] - ref[:, 2]) <= 0.02)
+    # and the flips must be rare: at most one sample across the population
+    assert np.abs(out[:, 0] - ref[:, 0]).sum() <= 1.5 / n_val
 
 
 def test_population_evaluator_data_mesh_rejects_bad_batch():

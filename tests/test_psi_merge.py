@@ -33,6 +33,36 @@ def test_merge_concat_and_dedup(tmp_path):
     assert len(df3) == 2
 
 
+def test_merge_interleave_balances_fronts(tmp_path):
+    gs = all_genomes()
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    c = tmp_path / "c.csv"
+    _front(gs[:4], 0.91).to_csv(a, index=False)
+    _front(gs[10:14], 0.92).to_csv(b, index=False)
+    _front(gs[20:24], 0.93).to_csv(c, index=False)
+    df = merge([str(a), str(b), str(c)], limit=6, interleave=True)
+    # round-robin: limit=6 keeps TWO rows from EACH front, not 4+2+0
+    assert list(df["Accuracy"]) == [0.91, 0.92, 0.93, 0.91, 0.92, 0.93]
+
+
+def test_merge_skips_empty_fronts(tmp_path):
+    gs = all_genomes()
+    a = tmp_path / "a.csv"
+    empty = tmp_path / "empty.csv"
+    zero_rows = tmp_path / "zero.csv"
+    _front(gs[:3], 0.91).to_csv(a, index=False)
+    # an infeasible stage-1 run writes a columnless file ...
+    pd.DataFrame([]).to_csv(empty, index=False)
+    # ... or a header-only one
+    _front([], 0.9).reindex(columns=["Accuracy", "Size_MB", "FPR", *GENE_ORDER]
+                            ).to_csv(zero_rows, index=False)
+    df = merge([str(empty), str(a), str(zero_rows)])
+    assert len(df) == 3
+    with pytest.raises(ValueError, match="no non-empty"):
+        merge([str(empty), str(zero_rows)])
+
+
 def test_merge_missing_column_rejected(tmp_path):
     bad = tmp_path / "bad.csv"
     pd.DataFrame({"Accuracy": [0.9]}).to_csv(bad, index=False)
