@@ -142,7 +142,7 @@ def main() -> int:
             "use_dropout": False,
         }
         fwd = count_fwd_flops(gmax, hw, ev.cfg.num_classes, ev.cfg.template)
-        if compaction:
+        if compaction > 0:
             # compaction drops stopped lanes between chunks; per-lane billed
             # epochs approximate the executed work (slightly UNDER-counts the
             # pre-eviction lockstep epochs inside each chunk)

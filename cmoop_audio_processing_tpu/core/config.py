@@ -75,11 +75,14 @@ class TrainConfig:
     bucket_genes: Tuple[str, ...] = ("filters", "kernel_size")
     max_models_per_program: int = 16  # pad bucket sub-populations to <= this
     parallel_impl: str = "grouped"  # "grouped" (one grouped-conv net) | "vmap"
-    # Epochs between early-stop lane compactions (0 = off). Compaction re-
-    # launches survivors in smaller programs; worthwhile for large per-
-    # bucket populations / long epoch budgets, ~neutral at pop<=4 where
-    # per-chunk sync overhead cancels the savings (bench measurements).
-    compaction_chunk: int = 0
+    # Epochs between early-stop lane compactions. Compaction re-launches
+    # survivors in smaller programs; worthwhile for large per-bucket
+    # populations / long epoch budgets (PERF.md: pop 16 / 300-epoch cap
+    # -> -26% wall), ~neutral at pop<=4 where chunk quantization cancels
+    # the savings. -1 (default) = adaptive: the evaluator chunks a bucket
+    # (every 2*patience epochs) only when its padded lane count is >= 8
+    # and the epoch budget is long; 0 = always one-shot; N>0 = fixed chunk.
+    compaction_chunk: int = -1
 
 
 @dataclass(frozen=True)

@@ -155,11 +155,13 @@ class PopulationEvaluator:
         # -> train while_loop -> finalize) is LAUNCHED before any result is
         # materialized, so the per-launch dispatch latency (~0.2 s through a
         # remote-TPU tunnel) overlaps across buckets instead of summing.
-        # Caveat: the compaction path (compaction_chunk>0) must materialize
+        # Caveat: the compaction path (effective chunk > 0) must materialize
         # per-chunk stop masks inline, so those buckets synchronize inside
         # the first pass — compaction trades dispatch overlap for dropped
         # lanes, which only pays off for big buckets / long budgets (PERF.md).
-        pending = []
+        # Compacted launches therefore go LAST, after every one-shot bucket's
+        # programs are already in flight.
+        launches = []
         for bkey, idxs in buckets.items():
             f, k = int(bkey[0]), int(bkey[1])
             spec = self._bucket_spec(f, k)
@@ -174,9 +176,14 @@ class PopulationEvaluator:
                 padded = list(chunk) + [chunk[0]] * (
                     _next_pow2(max(len(chunk), 1)) - len(chunk)
                 )
-                pending.append(
-                    (chunk_idx, self._run_bucket(spec, padded, seed))
-                )
+                launches.append((chunk_idx, spec, padded))
+        launches.sort(
+            key=lambda t: self._effective_chunk(len(t[2])) > 0
+        )
+        pending = [
+            (chunk_idx, self._run_bucket(spec, padded, seed))
+            for chunk_idx, spec, padded in launches
+        ]
         chunk_records = []
         for chunk_idx, fits in pending:
             fits = jax.tree.map(np.asarray, fits)  # blocks; all in flight
@@ -204,6 +211,22 @@ class PopulationEvaluator:
         )
         self._eval_count += len(genomes)
         return results  # type: ignore[return-value]
+
+    def _effective_chunk(self, pop: int) -> int:
+        """Resolve TrainConfig.compaction_chunk for a bucket of `pop` padded
+        lanes. -1 = adaptive policy from the PERF.md measurements: chunking
+        pays only when enough lanes can actually be dropped (pop >= 8) and
+        the epoch budget dwarfs the chunk quantum; 2*patience between
+        compactions lets stopping decisions stabilize. A device mesh forces
+        one-shot regardless (compaction would fight the pop-axis sharding)."""
+        if self.mesh is not None:
+            return 0
+        chunk = self.settings.compaction_chunk
+        if chunk >= 0:
+            return chunk
+        if pop < 8 or self.settings.epochs < 8 * max(self.settings.patience, 1):
+            return 0
+        return max(2 * self.settings.patience, 10)
 
     def _run_bucket(self, spec: BucketSpec, padded: List[Genome], seed: int):
         pop = len(padded)
@@ -236,9 +259,9 @@ class PopulationEvaluator:
         xval, yval, wval = self._val
         acc_key = "acc_eval" if self.cfg.accuracy_from == "best" else "acc_last"
 
-        chunk = self.settings.compaction_chunk
-        if chunk <= 0 or self.mesh is not None:
-            # one-shot (compaction would fight the mesh's pop sharding).
+        chunk = self._effective_chunk(pop)
+        if chunk <= 0:
+            # one-shot (a mesh also forces this — see _effective_chunk).
             # The epoch cap is passed as a call-site ARGUMENT so one compiled
             # program serves every epoch budget (a cap created inside the
             # traced function would bake in as a literal).

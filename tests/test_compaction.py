@@ -80,6 +80,50 @@ def test_compaction_matches_oneshot_with_dropout(data):
     )
 
 
+def test_adaptive_chunk_policy(data):
+    """-1 resolves per bucket: chunking only for pop >= 8 lanes AND a long
+    epoch budget; explicit values and a device mesh pass through/force off."""
+    import dataclasses
+
+    long_cfg = TrainConfig(num_classes=4, compute_dtype="float32")  # 300 ep
+    ev = PopulationEvaluator(data, long_cfg)
+    assert ev._effective_chunk(4) == 0
+    assert ev._effective_chunk(8) == 10  # 2*patience(5)
+    assert ev._effective_chunk(16) == 10
+    short = PopulationEvaluator(data, dataclasses.replace(long_cfg, epochs=30))
+    assert short._effective_chunk(16) == 0
+    fixed = PopulationEvaluator(
+        data, dataclasses.replace(long_cfg, compaction_chunk=3)
+    )
+    assert fixed._effective_chunk(16) == 3
+    off = PopulationEvaluator(
+        data, dataclasses.replace(long_cfg, compaction_chunk=0)
+    )
+    assert off._effective_chunk(16) == 0
+
+
+def test_adaptive_auto_matches_oneshot(data):
+    """With 8 lanes and a long-enough budget the auto policy engages the
+    chunked path — which must still reproduce one-shot fitness exactly."""
+    genomes = GENOMES + [dict(g, use_dropout=True) for g in GENOMES]
+    cfg_auto = TrainConfig(
+        epochs=18, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32", compaction_chunk=-1,
+    )
+    ev = PopulationEvaluator(data, cfg_auto)
+    assert ev._effective_chunk(8) > 0  # policy engages for this run
+    fits_auto = ev.evaluate(genomes, seed=3)
+    fits_oneshot = PopulationEvaluator(
+        data, TrainConfig(
+            epochs=18, batch_size=32, patience=2, num_classes=4,
+            compute_dtype="float32", compaction_chunk=0,
+        )
+    ).evaluate(genomes, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(fits_auto), np.asarray(fits_oneshot), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_training_invariant_to_population_composition(data):
     """A genome's fitness is a function of (genome, seed, dataset) alone:
     evaluating it alone or inside a population of different genomes gives
