@@ -71,6 +71,14 @@ def main() -> int:
         g for g in [all_genomes()[i * 13 % 288] for i in range(pop_size)]
     ]
 
+    # optional depth-bucketing experiment: BENCH_BUCKET_GENES=
+    # "filters,kernel_size,residual_blocks" splits launches by depth so every
+    # program is fully specialized (vs the default automatic per-launch
+    # max_blocks specialization over mixed-depth buckets)
+    bucket_genes = tuple(
+        os.environ.get("BENCH_BUCKET_GENES", "filters,kernel_size").split(",")
+    )
+
     def make_eval(max_models):
         cfg = TrainConfig(
             epochs=epochs,
@@ -78,6 +86,7 @@ def main() -> int:
             compute_dtype=dtype,
             max_models_per_program=max_models,
             compaction_chunk=compaction if max_models > 1 else 0,
+            bucket_genes=bucket_genes,
         )
         return PopulationEvaluator(data, cfg)
 
@@ -138,7 +147,10 @@ def main() -> int:
     for ch in ev.timings[-1]["chunks"]:
         gmax = {
             "filters": ch["filters"], "kernel_size": ch["kernel"],
-            "use_bn": True, "residual_blocks": 3, "fc_layers": 4,
+            "use_bn": True,
+            # the program is specialized to the launch's deepest genome, so
+            # the executed work is the bucket's max_blocks, not always 3
+            "residual_blocks": ch.get("max_blocks", 3), "fc_layers": 4,
             "use_dropout": False,
         }
         fwd = count_fwd_flops(gmax, hw, ev.cfg.num_classes, ev.cfg.template)

@@ -111,7 +111,7 @@ class PopulationEvaluator:
 
     # -- caching --------------------------------------------------------------
 
-    def _bucket_spec(self, f: int, k: int) -> BucketSpec:
+    def _bucket_spec(self, f: int, k: int, max_blocks: int = 3) -> BucketSpec:
         return BucketSpec(
             template=self.cfg.template,
             filters=f,
@@ -119,6 +119,7 @@ class PopulationEvaluator:
             num_classes=self.cfg.num_classes,
             dropout_rate=self.cfg.dropout_rate,
             compute_dtype=self.cfg.compute_dtype,
+            max_blocks=max_blocks,
         )
 
     def _get_trainer(self, spec: BucketSpec, pop: int):
@@ -164,7 +165,6 @@ class PopulationEvaluator:
         launches = []
         for bkey, idxs in buckets.items():
             f, k = int(bkey[0]), int(bkey[1])
-            spec = self._bucket_spec(f, k)
             sub = [genomes[i] for i in idxs]
             pop = min(
                 _next_pow2(len(sub)), max(self.cfg.max_models_per_program, 1)
@@ -175,6 +175,14 @@ class PopulationEvaluator:
                 chunk = sub[start : start + pop]
                 padded = list(chunk) + [chunk[0]] * (
                     _next_pow2(max(len(chunk), 1)) - len(chunk)
+                )
+                # specialize the program to the deepest genome actually in
+                # this launch: a shallow launch skips the unused residual
+                # blocks instead of masking them (models/supernet.py). Per-
+                # genome results are invariant to the specialization level
+                # (prefix-stable init streams + exact-zero masked paths).
+                spec = self._bucket_spec(
+                    f, k, max(int(g["residual_blocks"]) for g in chunk)
                 )
                 launches.append((chunk_idx, spec, padded))
         launches.sort(
@@ -196,6 +204,9 @@ class PopulationEvaluator:
             chunk_records.append({
                 "filters": int(g0["filters"]),
                 "kernel": int(g0["kernel_size"]),
+                "max_blocks": max(
+                    int(genomes[i]["residual_blocks"]) for i in chunk_idx
+                ),
                 "pop": int(np.shape(fits["acc"])[0]),
                 "epochs": [int(e) for e in fits["epochs"]],
             })

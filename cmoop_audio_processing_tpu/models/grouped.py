@@ -152,7 +152,7 @@ def apply_population(
     h = _maxpool2(h)
 
     exits = []
-    for i in range(3):
+    for i in range(spec.max_blocks):
         blk = params[f"block{i}"]
         skip = _conv_grouped(h, blk["skip"]["w"], blk["skip"]["b"], pop, 2, dtype)
         if spec.template == "A":

@@ -9,10 +9,13 @@ populations through it. Genes that change tensor shapes quadratically
 (``filters``, ``kernel_size``) select the bucket; the remaining genes become
 cheap per-individual flags inside the program:
 
-* ``residual_blocks`` — all 3 blocks always execute; a multi-exit
-  GlobalAveragePool reads after block ``n_blocks`` and zero-pads the result
-  to the widest (8f) width. Zero-padded lanes feed zero-initialized FC rows,
-  so they contribute nothing and receive no gradient.
+* ``residual_blocks`` — the program executes the bucket's ``max_blocks``
+  (the deepest genome actually present — engine/evaluator.py specializes
+  this per launch, so a shallow bucket skips the unused blocks entirely);
+  a multi-exit GlobalAveragePool reads after block ``n_blocks`` and
+  zero-pads the result to the bucket's widest GAP width. Zero-padded lanes
+  feed zero-initialized FC rows, so they contribute nothing and receive no
+  gradient.
 * ``fc_layers`` — the FC stacks are suffixes of [512, 256, 128, 64]
   (nsga_penalty.py:311-316), so a genome with n_fc layers *enters* the fixed
   4-layer chain at layer ``5 - n_fc``; the entry layer reads the GAP vector
@@ -47,7 +50,16 @@ BN_EPS = 1e-3
 
 @dataclasses.dataclass(frozen=True)
 class BucketSpec:
-    """Static shape information for one compiled bucket."""
+    """Static shape information for one compiled bucket.
+
+    ``max_blocks`` specializes the program to the deepest genome actually
+    present in the bucket (engine/evaluator.py sets it per launch): a bucket
+    whose members all have <= 2 residual blocks skips building/executing
+    block 3 entirely instead of masking it away. Per-genome PRNG streams
+    are prefix-stable across ``max_blocks`` (see ``_init_params_traced``),
+    and skipped blocks/GAP rows are exact zeros in the masked design, so a
+    genome's training is invariant (up to matmul-tiling ulps) to the
+    specialization level."""
 
     template: str  # "A" | "B"
     filters: int
@@ -55,15 +67,18 @@ class BucketSpec:
     num_classes: int
     dropout_rate: float = 0.3
     compute_dtype: str = "float32"
+    max_blocks: int = 3
 
     @property
     def gap_width(self) -> int:
-        return self.filters * 8
+        return self.filters * 2 ** self.max_blocks
 
     @property
     def block_channels(self) -> Tuple[Tuple[int, int], ...]:
         f = self.filters
-        return tuple((f * 2 ** i, f * 2 ** (i + 1)) for i in range(3))
+        return tuple(
+            (f * 2 ** i, f * 2 ** (i + 1)) for i in range(self.max_blocks)
+        )
 
 
 FLAG_NAMES = ("n_blocks", "fc_entry", "use_bn", "use_dropout", "uid")
@@ -143,15 +158,23 @@ def init_params(key, spec: BucketSpec, genome: Genome):
         params["stem2_bn"] = _bn_init(f)
         state["stem2_bn"] = _bn_state_init(f)
 
-    for i, (c_in, c_out) in enumerate(spec.block_channels):
+    for i in range(3):
+        # always CONSUME this block's key slots, even past max_blocks: the
+        # per-genome PRNG stream must be identical at every specialization
+        # level so a genome's init is invariant to its bucket's max_blocks
+        k_skip, k_conv1 = next(keys), next(keys)
+        k_conv2 = next(keys) if spec.template == "A" else None
+        if i >= spec.max_blocks:
+            continue
+        c_in, c_out = spec.block_channels[i]
         blk: Dict = {
-            "skip": _conv_init(next(keys), 1, c_in, c_out),
-            "conv1": _conv_init(next(keys), k, c_in, c_out),
+            "skip": _conv_init(k_skip, 1, c_in, c_out),
+            "conv1": _conv_init(k_conv1, k, c_in, c_out),
             "conv1_bn": _bn_init(c_out),
         }
         state[f"block{i}_conv1_bn"] = _bn_state_init(c_out)
         if spec.template == "A":
-            blk["conv2"] = _conv_init(next(keys), k, c_out, c_out)
+            blk["conv2"] = _conv_init(k_conv2, k, c_out, c_out)
             blk["conv2_bn"] = _bn_init(c_out)
             state[f"block{i}_conv2_bn"] = _bn_state_init(c_out)
         params[f"block{i}"] = blk
@@ -277,7 +300,7 @@ def apply_model(
     h = _maxpool2(h)
 
     exits = []
-    for i in range(3):
+    for i in range(spec.max_blocks):
         blk = params[f"block{i}"]
         skip = _conv2d(h, blk["skip"], stride=2, dtype=dtype)
         if spec.template == "A":
@@ -358,15 +381,23 @@ def _init_params_traced(key, n_blocks, fc_entry, spec: BucketSpec):
         params["stem2_bn"] = _bn_init(f)
         state["stem2_bn"] = _bn_state_init(f)
 
-    for i, (c_in, c_out) in enumerate(spec.block_channels):
+    for i in range(3):
+        # always CONSUME this block's fold ids, even past max_blocks: the
+        # per-genome PRNG stream must be identical at every specialization
+        # level so a genome's init is invariant to its bucket's max_blocks
+        k_skip, k_conv1 = nk(), nk()
+        k_conv2 = nk() if spec.template == "A" else None
+        if i >= spec.max_blocks:
+            continue
+        c_in, c_out = spec.block_channels[i]
         blk: Dict = {
-            "skip": _conv_init(nk(), 1, c_in, c_out),
-            "conv1": _conv_init(nk(), k, c_in, c_out),
+            "skip": _conv_init(k_skip, 1, c_in, c_out),
+            "conv1": _conv_init(k_conv1, k, c_in, c_out),
             "conv1_bn": _bn_init(c_out),
         }
         state[f"block{i}_conv1_bn"] = _bn_state_init(c_out)
         if spec.template == "A":
-            blk["conv2"] = _conv_init(nk(), k, c_out, c_out)
+            blk["conv2"] = _conv_init(k_conv2, k, c_out, c_out)
             blk["conv2_bn"] = _bn_init(c_out)
             state[f"block{i}_conv2_bn"] = _bn_state_init(c_out)
         params[f"block{i}"] = blk
@@ -377,9 +408,15 @@ def _init_params_traced(key, n_blocks, fc_entry, spec: BucketSpec):
     for li, units in enumerate(FC_WIDTHS, start=1):
         layer: Dict = {"b": jnp.zeros((units,), jnp.float32)}
         # entry layer: Glorot with the genome's true (dynamic) fan-in on the
-        # active rows, zeros elsewhere and on non-entry layers
+        # active rows, zeros elsewhere and on non-entry layers. The draw is
+        # always at the CANONICAL full width (f*8, the max_blocks=3 GAP) and
+        # sliced, so active rows see identical values at every
+        # specialization level (a (gap_w, units) draw would not be a prefix
+        # of the (f*8, units) draw).
         limit = jnp.sqrt(6.0 / (active_gap.astype(jnp.float32) + units))
-        u = jax.random.uniform(nk(), (gap_w, units), jnp.float32, -1.0, 1.0)
+        u = jax.random.uniform(nk(), (f * 8, units), jnp.float32, -1.0, 1.0)[
+            :gap_w
+        ]
         row_active = (jnp.arange(gap_w) < active_gap)[:, None]
         layer["wg"] = jnp.where(
             (li == fc_entry) & row_active, u * limit, 0.0

@@ -258,3 +258,58 @@ def test_init_population_device_structure_and_masking():
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, params2)
+
+
+@pytest.mark.parametrize("template", ["A", "B"])
+def test_max_blocks_specialization_is_invisible(template):
+    """A bucket specialized to its deepest genome (BucketSpec.max_blocks)
+    must produce the SAME models as the full 3-block program: init streams
+    are prefix-stable (key slots for skipped blocks still consumed; FC gap
+    weights drawn at canonical width and sliced) and the masked design makes
+    skipped blocks exact zeros — so logits match bitwise in f32."""
+    from cmoop_audio_processing_tpu.models.grouped import apply_population
+    from cmoop_audio_processing_tpu.models.supernet import (
+        init_population_device,
+        stack_flags,
+    )
+
+    genomes = [mk_genome(nb=2, nfc=2), mk_genome(nb=1, nfc=4, bn=False)]
+    flags = stack_flags(genomes)
+    keys = jnp.stack([jax.random.key(7), jax.random.key(9)])
+    s3 = BucketSpec(template, 16, 3, 7, compute_dtype="float32")
+    s2 = BucketSpec(template, 16, 3, 7, compute_dtype="float32", max_blocks=2)
+    p3, st3 = init_population_device(keys, flags["n_blocks"], flags["fc_entry"], s3)
+    p2, st2 = init_population_device(keys, flags["n_blocks"], flags["fc_entry"], s2)
+
+    # init prefix-stability: all shared conv/bn leaves identical; FC gap
+    # weights are the first gap_width rows of the canonical draw
+    assert "block2" not in p2 and "block2" in p3
+    for name in [k for k in p2 if k not in ("fc",)]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            p3[name], p2[name],
+        )
+    for li in range(1, 5):
+        np.testing.assert_array_equal(
+            np.asarray(p2["fc"][f"fc{li}"]["wg"]),
+            np.asarray(p3["fc"][f"fc{li}"]["wg"])[:, : s2.gap_width, :],
+        )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 16, 8, 1)), jnp.float32
+    )
+    lv3 = jax.vmap(
+        lambda p, s, f: apply_model(s3, p, s, f, x, train=False)[0]
+    )(p3, st3, flags)
+    lv2 = jax.vmap(
+        lambda p, s, f: apply_model(s2, p, s, f, x, train=False)[0]
+    )(p2, st2, flags)
+    np.testing.assert_array_equal(np.asarray(lv2), np.asarray(lv3))
+
+    # grouped-conv path honors the specialization too
+    lg2, _ = apply_population(s2, p2, st2, flags, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(lg2), np.asarray(lv2), rtol=2e-5, atol=2e-5
+    )
