@@ -154,7 +154,9 @@ def main() -> int:
             "use_dropout": False,
         }
         fwd = count_fwd_flops(gmax, hw, ev.cfg.num_classes, ev.cfg.template)
-        if compaction > 0:
+        # gate on the evaluator's EFFECTIVE policy, not the raw env value:
+        # with compaction=-1 (adaptive) lanes may really have been dropped
+        if ev._effective_chunk(ch["pop"]) > 0:
             # compaction drops stopped lanes between chunks; per-lane billed
             # epochs approximate the executed work (slightly UNDER-counts the
             # pre-eviction lockstep epochs inside each chunk)

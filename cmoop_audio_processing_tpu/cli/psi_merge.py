@@ -51,6 +51,12 @@ def merge(paths, dedup: bool = False, limit: int | None = None,
             print(f"psi-merge: {path} is empty (no feasible front), skipping",
                   file=sys.stderr)
             continue
+        if len(df.columns) == 0:
+            # pd.read_excel never raises EmptyDataError; an empty .xlsx
+            # front arrives as a zero-column frame — same skip treatment
+            print(f"psi-merge: {path} is empty (no feasible front), skipping",
+                  file=sys.stderr)
+            continue
         missing = [c for c in REQUIRED if c not in df.columns]
         if missing:
             raise ValueError(f"{path} missing columns {missing}")

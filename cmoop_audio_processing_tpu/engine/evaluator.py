@@ -62,6 +62,20 @@ class PopulationEvaluator:
         from ..utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
+        # evaluate() reads bucket-key slots 0/1 as (filters, kernel_size) to
+        # build the BucketSpec; a reordered/malformed bucket_genes would
+        # silently construct wrong architectures, so fail loudly here
+        bg = tuple(train_cfg.bucket_genes)
+        if bg[:2] != ("filters", "kernel_size"):
+            raise ValueError(
+                "bucket_genes must start with ('filters', 'kernel_size'); "
+                f"got {bg!r}"
+            )
+        from ..core.genome import HPARAM_SPACE
+
+        unknown = [g for g in bg if g not in HPARAM_SPACE]
+        if unknown:
+            raise ValueError(f"unknown bucket_genes {unknown!r}")
         self.cfg = train_cfg
         self.mesh = mesh
         self.settings = TrainSettings(

@@ -436,14 +436,30 @@ def _init_params_traced(key, n_blocks, fc_entry, spec: BucketSpec):
 
 
 @partial(jax.jit, static_argnames=("spec",))
+def _init_population_device_jit(keys, n_blocks, fc_entry, spec: BucketSpec):
+    return jax.vmap(lambda k_, nb, fe: _init_params_traced(k_, nb, fe, spec))(
+        keys, n_blocks, fc_entry
+    )
+
+
 def init_population_device(keys, n_blocks, fc_entry, spec: BucketSpec):
     """Whole-population init as ONE device program (keys/flags stacked with a
     leading pop axis). The unjitted per-genome init costs ~0.7 s of
     host<->device ping-pong per bucket through a remote-TPU tunnel; this is
-    a single launch."""
-    return jax.vmap(lambda k_, nb, fe: _init_params_traced(k_, nb, fe, spec))(
-        keys, n_blocks, fc_entry
-    )
+    a single launch.
+
+    A genome deeper than ``spec.max_blocks`` would silently select an
+    all-zero GAP exit (its block never executes), so over-deep populations
+    are rejected loudly here when the flags are concrete (traced callers
+    keep the raw jit path and must guarantee the contract themselves)."""
+    if not isinstance(n_blocks, jax.core.Tracer):
+        nb = np.asarray(n_blocks)
+        if nb.size and int(nb.max()) > spec.max_blocks:
+            raise ValueError(
+                f"population has a {int(nb.max())}-block genome but the "
+                f"bucket is specialized to max_blocks={spec.max_blocks}"
+            )
+    return _init_population_device_jit(keys, n_blocks, fc_entry, spec)
 
 
 def stack_flags(genomes) -> Dict[str, jnp.ndarray]:

@@ -161,8 +161,19 @@ def main(argv=None) -> int:
                      "--plots", os.path.join(args.out, "plots")]
     compare_cli.main(compare_argv)
 
+    # compare_cli skips empty fronts (and writes no report if ALL were
+    # empty), so every lookup below must tolerate absent methods — reach
+    # the INCOMPLETE verdict instead of a traceback.
+    if not os.path.exists(report_path):
+        print("[all8] no report written (every front was empty) — "
+              "ordering check incomplete", file=sys.stderr)
+        return 1
     with open(report_path) as f:
         rep = json.load(f)
+    if "SA_NSGA-II" not in rep.get("hypervolume", {}):
+        print("[all8] plain SA_NSGA-II front empty/missing — "
+              "ordering check incomplete", file=sys.stderr)
+        return 1
     sa_hv = rep["hypervolume"]["SA_NSGA-II"]
     sa_igd = rep["igd"]["SA_NSGA-II"]
     print("[all8] HV:", {k: round(v, 7) for k, v in rep["hypervolume"].items()},

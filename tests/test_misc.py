@@ -66,3 +66,58 @@ def test_gather_lanes_preserves_scalars():
     np.testing.assert_allclose(np.asarray(out["a"]).ravel(), [3.0, 1.0])
     assert int(out["epoch"]) == 5
     np.testing.assert_array_equal(np.asarray(out["nested"]["b"]), [3, 1])
+
+
+def test_evaluator_rejects_malformed_bucket_genes():
+    """evaluate() reads bucket-key slots 0/1 as (filters, kernel_size); a
+    reordered or unknown bucket_genes must fail loudly at construction."""
+    import pytest
+
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=32, synthetic_eval=32, time_steps=8,
+                   features=8, num_classes=4)
+    )
+    for bad in (
+        ("residual_blocks", "filters", "kernel_size"),
+        ("filters",),
+        ("filters", "kernel_size", "nope"),
+    ):
+        with pytest.raises(ValueError):
+            PopulationEvaluator(
+                data, TrainConfig(num_classes=4, bucket_genes=bad)
+            )
+    # depth-bucketing (extra trailing genes) is legal
+    PopulationEvaluator(
+        data,
+        TrainConfig(
+            num_classes=4,
+            bucket_genes=("filters", "kernel_size", "residual_blocks"),
+        ),
+    )
+
+
+def test_init_population_rejects_overdeep_genome():
+    """A genome deeper than the bucket's max_blocks would silently select an
+    all-zero GAP exit; the host-side init guard must reject it."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from cmoop_audio_processing_tpu.models.supernet import (
+        BucketSpec,
+        init_population_device,
+        stack_flags,
+    )
+
+    g3 = dict(filters=16, kernel_size=3, use_bn=True, residual_blocks=3,
+              fc_layers=1, use_dropout=False)
+    flags = stack_flags([g3])
+    with pytest.raises(ValueError, match="max_blocks"):
+        init_population_device(
+            jnp.stack([jax.random.key(0)]), flags["n_blocks"],
+            flags["fc_entry"], BucketSpec("A", 16, 3, 4, max_blocks=2),
+        )
