@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fake-eval", action="store_true",
                    help="use the deterministic closed-form evaluator (no training)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
+    p.add_argument("--compaction-chunk", type=int,
+                   help="epochs between early-stop lane compactions: -1 "
+                        "adaptive (default), 0 always one-shot, N fixed")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the population over N devices (0 = no mesh)")
     p.add_argument("--mesh-data", type=int, default=1,
@@ -72,6 +75,10 @@ def config_from_args(args) -> ExperimentConfig:
         train = dataclasses.replace(train, epochs=args.epochs)
     if args.compute_dtype:
         train = dataclasses.replace(train, compute_dtype=args.compute_dtype)
+    if args.compaction_chunk is not None:
+        train = dataclasses.replace(
+            train, compaction_chunk=args.compaction_chunk
+        )
     search = cfg.search
     if args.seed is not None:
         search = dataclasses.replace(search, seed=args.seed)
