@@ -66,3 +66,48 @@ def test_report_is_internally_consistent(report):
         assert report["hypervolume"][m] >= 0.0
         assert report["gd"][m] >= 0.0
         assert report["igd"][m] >= 0.0
+
+
+def _seed_reports():
+    import glob
+
+    base = os.path.dirname(REPORT)
+    return [
+        json.load(open(p))
+        for p in sorted(glob.glob(os.path.join(base, "compare_report_all8*.json")))
+    ]
+
+
+def test_paper_ordering_distributional_across_seeds():
+    """The reference's quality claim is DISTRIBUTIONAL (its runs are
+    unseeded; SURVEY.md §7): across the committed seeded replicas the
+    2-stage variants must dominate plain SA-NSGA-II in mean HV/IGD, and
+    the strict per-seed ordering must hold for a majority of seeds (one
+    replica legitimately flips a single HV pair — 2_stage_MOBO's front is
+    small, so its HV is high-variance while its IGD stays 3-4x better)."""
+    reports = _seed_reports()
+    assert len(reports) >= 3, "need at least 3 seeded replicas"
+    for rep in reports:
+        assert sorted(rep["hypervolume"]) == sorted(METHODS)
+
+    def mean(metric, m):
+        return sum(r[metric][m] for r in reports) / len(reports)
+
+    sa_hv, sa_igd = mean("hypervolume", "SA_NSGA-II"), mean("igd", "SA_NSGA-II")
+    for m in TWO_STAGE:
+        assert mean("hypervolume", m) >= sa_hv, m
+        assert mean("igd", m) <= sa_igd, m
+    assert mean("hypervolume", "2_stage_MOBO") >= mean("hypervolume", "MOBO")
+    assert mean("igd", "2_stage_MOBO") <= mean("igd", "MOBO")
+
+    strict = sum(
+        all(
+            r["hypervolume"][m] >= r["hypervolume"]["SA_NSGA-II"]
+            and r["igd"][m] <= r["igd"]["SA_NSGA-II"]
+            for m in TWO_STAGE
+        )
+        for r in reports
+    )
+    assert strict * 2 > len(reports), (
+        f"strict ordering held in only {strict}/{len(reports)} seeds"
+    )
