@@ -68,37 +68,48 @@ def test_report_is_internally_consistent(report):
         assert report["igd"][m] >= 0.0
 
 
-def _seed_reports():
-    import glob
+# Pinned replica set: a stray compare_report_all8_*.json scratch file must
+# not silently skew the distributional means.
+SEED_REPORT_FILES = [
+    REPORT,
+    REPORT.replace(".json", "_seed11.json"),
+    REPORT.replace(".json", "_seed23.json"),
+]
 
-    base = os.path.dirname(REPORT)
-    return [
-        json.load(open(p))
-        for p in sorted(glob.glob(os.path.join(base, "compare_report_all8*.json")))
-    ]
+
+def _seed_reports():
+    reports = []
+    for p in SEED_REPORT_FILES:
+        assert os.path.exists(p), f"committed replica missing: {p}"
+        with open(p) as f:
+            reports.append(json.load(f))
+    return reports
 
 
 def test_paper_ordering_distributional_across_seeds():
     """The reference's quality claim is DISTRIBUTIONAL (its runs are
-    unseeded; SURVEY.md §7): across the committed seeded replicas the
-    2-stage variants must dominate plain SA-NSGA-II in mean HV/IGD, and
-    the strict per-seed ordering must hold for a majority of seeds (one
-    replica legitimately flips a single HV pair — 2_stage_MOBO's front is
-    small, so its HV is high-variance while its IGD stays 3-4x better)."""
+    unseeded; SURVEY.md §7). Raw HVs are NOT comparable across seeds (each
+    report's reference point is its own union-max), so the aggregate uses
+    per-seed RATIOS vs plain SA-NSGA-II: mean ratio must favor every
+    2-stage variant on both HV and IGD, and the strict per-seed ordering
+    must hold for a majority of seeds (one replica legitimately flips a
+    single HV pair — 2_stage_MOBO's front is small, so its HV is
+    high-variance while its IGD stays 2-4x better in every seed)."""
     reports = _seed_reports()
-    assert len(reports) >= 3, "need at least 3 seeded replicas"
     for rep in reports:
-        assert sorted(rep["hypervolume"]) == sorted(METHODS)
+        for metric in ("hypervolume", "gd", "igd", "spread"):
+            assert sorted(rep[metric]) == sorted(METHODS), metric
 
-    def mean(metric, m):
-        return sum(r[metric][m] for r in reports) / len(reports)
+    def mean_ratio(metric, m, baseline):
+        return sum(r[metric][m] / r[metric][baseline] for r in reports) / len(
+            reports
+        )
 
-    sa_hv, sa_igd = mean("hypervolume", "SA_NSGA-II"), mean("igd", "SA_NSGA-II")
     for m in TWO_STAGE:
-        assert mean("hypervolume", m) >= sa_hv, m
-        assert mean("igd", m) <= sa_igd, m
-    assert mean("hypervolume", "2_stage_MOBO") >= mean("hypervolume", "MOBO")
-    assert mean("igd", "2_stage_MOBO") <= mean("igd", "MOBO")
+        assert mean_ratio("hypervolume", m, "SA_NSGA-II") >= 1.0, m
+        assert mean_ratio("igd", m, "SA_NSGA-II") <= 1.0, m
+    assert mean_ratio("hypervolume", "2_stage_MOBO", "MOBO") >= 1.0
+    assert mean_ratio("igd", "2_stage_MOBO", "MOBO") <= 1.0
 
     strict = sum(
         all(
