@@ -154,9 +154,9 @@ def main() -> int:
             "use_dropout": False,
         }
         fwd = count_fwd_flops(gmax, hw, ev.cfg.num_classes, ev.cfg.template)
-        # gate on the evaluator's EFFECTIVE policy, not the raw env value:
-        # with compaction=-1 (adaptive) lanes may really have been dropped
-        if ev._effective_chunk(ch["pop"]) > 0:
+        # the chunk record says whether lanes were really dropped (the raw
+        # BENCH_COMPACTION env value can't: -1 resolves per bucket)
+        if ch.get("compacted"):
             # compaction drops stopped lanes between chunks; per-lane billed
             # epochs approximate the executed work (slightly UNDER-counts the
             # pre-eviction lockstep epochs inside each chunk)

@@ -46,14 +46,12 @@ def merge(paths, dedup: bool = False, limit: int | None = None,
         try:
             df = pd.read_excel(path) if path.endswith((".xlsx", ".xls")) else pd.read_csv(path)
         except pd.errors.EmptyDataError:
+            # empty CSV; read_excel never raises this — an empty .xlsx
+            # arrives as a zero-column frame instead (checked below)
+            df = None
+        if df is None or len(df.columns) == 0:
             # An infeasible stage-1 run exports an empty front (the reference
             # warns and continues, nsga_penalty.py:768-770); skip it.
-            print(f"psi-merge: {path} is empty (no feasible front), skipping",
-                  file=sys.stderr)
-            continue
-        if len(df.columns) == 0:
-            # pd.read_excel never raises EmptyDataError; an empty .xlsx
-            # front arrives as a zero-column frame — same skip treatment
             print(f"psi-merge: {path} is empty (no feasible front), skipping",
                   file=sys.stderr)
             continue

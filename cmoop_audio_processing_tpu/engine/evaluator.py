@@ -203,25 +203,26 @@ class PopulationEvaluator:
             key=lambda t: self._effective_chunk(len(t[2])) > 0
         )
         pending = [
-            (chunk_idx, self._run_bucket(spec, padded, seed))
+            (chunk_idx, spec, self._run_bucket(spec, padded, seed))
             for chunk_idx, spec, padded in launches
         ]
         chunk_records = []
-        for chunk_idx, fits in pending:
+        for chunk_idx, spec, fits in pending:
             fits = jax.tree.map(np.asarray, fits)  # blocks; all in flight
             for j, gi in enumerate(chunk_idx):
                 g = genomes[gi]
                 acc, fpr = fits["acc"][j], fits["fpr"][j]
                 size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
                 results[gi] = (float(acc), float(size), float(fpr))
-            g0 = genomes[chunk_idx[0]]
+            pop = int(np.shape(fits["acc"])[0])
+            # the record mirrors the LAUNCHED program exactly: specialized
+            # depth from its spec, compaction from the effective policy
             chunk_records.append({
-                "filters": int(g0["filters"]),
-                "kernel": int(g0["kernel_size"]),
-                "max_blocks": max(
-                    int(genomes[i]["residual_blocks"]) for i in chunk_idx
-                ),
-                "pop": int(np.shape(fits["acc"])[0]),
+                "filters": spec.filters,
+                "kernel": spec.kernel,
+                "max_blocks": spec.max_blocks,
+                "pop": pop,
+                "compacted": self._effective_chunk(pop) > 0,
                 "epochs": [int(e) for e in fits["epochs"]],
             })
         self.timings.append(
