@@ -254,13 +254,16 @@ class PopulationEvaluator:
             return 0
         return max(2 * self.settings.patience, 10)
 
-    def _run_bucket(self, spec: BucketSpec, padded: List[Genome], seed: int):
-        pop = len(padded)
-        # Per-genome init keys are derived from (seed, genome identity), NOT
-        # from evaluation order: a genome's model instance is reproducible
-        # regardless of how the population is bucketed/batched, so population
-        # and serial execution train identical models (and re-evaluations are
-        # idempotent, matching the surrogate archive's keep-last dedup).
+    def _init_bucket_population(
+        self, spec: BucketSpec, padded: List[Genome], seed: int
+    ):
+        """Genome-keyed population init + the run's train stream key.
+
+        Per-genome init keys are derived from (seed, genome identity), NOT
+        from evaluation order: a genome's model instance is reproducible
+        regardless of how the population is bucketed/batched, so population
+        and serial execution train identical models (and re-evaluations are
+        idempotent, matching the surrogate archive's keep-last dedup)."""
         init_keys = jnp.stack([
             jax.random.fold_in(
                 jax.random.key(seed), zlib.crc32(str(genome_key(g)).encode())
@@ -281,6 +284,33 @@ class PopulationEvaluator:
         # re-evaluations idempotent (shared across a bucket's lanes; Keras
         # is unseeded here, so any fixed stream is distributionally faithful)
         train_key = jax.random.fold_in(jax.random.key(seed), 1)
+        return params, state, flags, train_key
+
+    def _run_single_with_params(self, spec: BucketSpec, genome: Genome,
+                                seed: int):
+        """One-genome one-shot training that RETURNS the trained carry —
+        the normal evaluation paths deliberately discard parameters. Same
+        init/shuffle/dropout streams as evaluate(), so the exported model
+        reproduces the search-reported fitness (engine/export.py)."""
+        params, state, flags, train_key = self._init_bucket_population(
+            spec, [genome], seed
+        )
+        xtr, ytr, wtr = self._train
+        xval, yval, wval = self._val
+        trainer = self._get_trainer(spec, 1)
+        carry = trainer.init_carry(params, state, flags)
+        carry = trainer.run_chunk(
+            carry, xtr, ytr, wtr, xval, yval, wval, train_key,
+            jnp.asarray(self.settings.epochs, jnp.int32),
+        )
+        out = trainer.finalize(carry, xval, yval, wval)
+        return out, carry
+
+    def _run_bucket(self, spec: BucketSpec, padded: List[Genome], seed: int):
+        pop = len(padded)
+        params, state, flags, train_key = self._init_bucket_population(
+            spec, padded, seed
+        )
         xtr, ytr, wtr = self._train
         xval, yval, wval = self._val
         acc_key = "acc_eval" if self.cfg.accuracy_from == "best" else "acc_last"
