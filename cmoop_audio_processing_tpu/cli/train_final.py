@@ -66,6 +66,12 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True, help="model output directory")
+    p.add_argument("--keras", metavar="PATH",
+                   help="additionally realize the trained genome as a "
+                        "concrete Keras model (.h5/.keras; needs tensorflow)")
+    p.add_argument("--tflite", metavar="PATH",
+                   help="additionally convert to a float32 TFLite "
+                        "flatbuffer (needs tensorflow)")
     args = p.parse_args(argv)
 
     if args.front:
@@ -99,8 +105,21 @@ def main(argv=None) -> int:
     data = prepare_dataset(data_cfg)
     print(f"training {genome} (seed {args.seed}) ...", file=sys.stderr)
     params, state, metrics = train_single(genome, data, train_cfg, args.seed)
-    save_model(args.out, genome, train_cfg, params, state, metrics, args.seed)
-    print(json.dumps({"model_dir": args.out, **metrics}))
+    save_model(
+        args.out, genome, train_cfg, params, state, metrics, args.seed,
+        input_hw=data["x_train"].shape[1:3],
+    )
+    result = {"model_dir": args.out, **metrics}
+    if args.keras or args.tflite:
+        from ..models.keras_export import export_keras, export_tflite
+
+        model = export_keras(args.out, args.keras)
+        if args.keras:
+            result["keras"] = args.keras
+        if args.tflite:
+            result["tflite_bytes"] = export_tflite(model, args.tflite)
+            result["tflite"] = args.tflite
+    print(json.dumps(result))
     return 0
 
 

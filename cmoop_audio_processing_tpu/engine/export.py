@@ -99,6 +99,7 @@ def save_model(
     state: Dict,
     metrics: Dict,
     seed: int,
+    input_hw=None,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     np.savez(
@@ -116,6 +117,9 @@ def save_model(
                 "dropout_rate": cfg.dropout_rate,
                 "seed": seed,
                 "metrics": metrics,
+                # (H, W) of the feature map — the Keras/TFLite realization
+                # needs a concrete input signature (models/keras_export.py)
+                "input_hw": list(input_hw) if input_hw is not None else None,
             },
             f,
             indent=2,
