@@ -88,3 +88,20 @@ def test_train_final_cli_from_front_csv(tmp_path, data):
     genome, spec, params, state, meta = load_model(out)
     assert genome["residual_blocks"] == 1 and spec.max_blocks == 1
     assert 0.0 <= meta["metrics"]["accuracy"] <= 1.0
+
+
+def test_committed_deployed_artifact_loads():
+    """examples/deployed/ is a real exported model from the full-budget
+    front; it must stay loadable and self-consistent."""
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "deployed", "model")
+    if not os.path.isdir(base):
+        pytest.fail(f"committed artifact missing: {base}")
+    genome, spec, params, state, meta = load_model(base)
+    assert meta["metrics"]["accuracy"] > 0.9
+    assert spec.max_blocks == genome["residual_blocks"]
+    h, w = meta["input_hw"]
+    x = np.zeros((2, h, w, 1), np.float32)
+    logits = predict(spec, genome, params, state, x)
+    assert logits.shape == (2, meta["num_classes"])
+    assert np.isfinite(logits).all()
