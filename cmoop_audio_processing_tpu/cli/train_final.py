@@ -72,6 +72,9 @@ def main(argv=None) -> int:
     p.add_argument("--tflite", metavar="PATH",
                    help="additionally convert to a float32 TFLite "
                         "flatbuffer (needs tensorflow)")
+    p.add_argument("--tflite-int8", metavar="PATH",
+                   help="additionally emit a full-integer int8 TFLite "
+                        "flatbuffer, calibrated on the training features")
     args = p.parse_args(argv)
 
     if args.front:
@@ -110,7 +113,7 @@ def main(argv=None) -> int:
         input_hw=data["x_train"].shape[1:3],
     )
     result = {"model_dir": args.out, **metrics}
-    if args.keras or args.tflite:
+    if args.keras or args.tflite or args.tflite_int8:
         from ..models.keras_export import export_keras, export_tflite
 
         model = export_keras(args.out, args.keras)
@@ -119,6 +122,11 @@ def main(argv=None) -> int:
         if args.tflite:
             result["tflite_bytes"] = export_tflite(model, args.tflite)
             result["tflite"] = args.tflite
+        if args.tflite_int8:
+            result["tflite_int8_bytes"] = export_tflite(
+                model, args.tflite_int8, rep_data=data["x_train"][:128]
+            )
+            result["tflite_int8"] = args.tflite_int8
     print(json.dumps(result))
     return 0
 

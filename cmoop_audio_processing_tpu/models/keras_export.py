@@ -176,11 +176,29 @@ def export_keras(model_dir: str, keras_path: str):
     return model
 
 
-def export_tflite(model, tflite_path: str) -> int:
-    """Standard float32 TFLite conversion; returns the flatbuffer size."""
+def export_tflite(model, tflite_path: str, rep_data=None) -> int:
+    """TFLite conversion; returns the flatbuffer size.
+
+    Float32 by default. Passing ``rep_data`` (an array of feature maps,
+    e.g. a slice of the training set) enables full-integer post-training
+    quantization — the format TinyML runtimes (micro, int8 NPUs) actually
+    deploy; weights AND activations become int8, shrinking the flatbuffer
+    ~4x below even the paper's fp32 size objective."""
     import tensorflow as tf
 
     conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    if rep_data is not None:
+        rep = np.asarray(rep_data, np.float32)
+
+        def gen():
+            for i in range(min(len(rep), 128)):
+                yield [rep[i : i + 1]]
+
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        conv.representative_dataset = gen
+        conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+        conv.inference_input_type = tf.int8
+        conv.inference_output_type = tf.int8
     flat = conv.convert()
     with open(tflite_path, "wb") as fh:
         fh.write(flat)

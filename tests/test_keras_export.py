@@ -99,3 +99,38 @@ def test_export_keras_and_tflite_roundtrip(tmp_path, data):
         lite, model.predict(x[:1], verbose=0), rtol=1e-4, atol=1e-5
     )
     tf.keras.backend.clear_session()
+
+
+def test_int8_quantized_tflite(tmp_path, data):
+    """Full-integer post-training quantization: the int8 flatbuffer must
+    shrink well below the float one and keep top-1 agreement with the
+    float model on held-out features."""
+    template, genome = GENOMES[0]
+    cfg = TrainConfig(epochs=3, batch_size=32, patience=3, num_classes=4,
+                      compute_dtype="float32", template=template)
+    params, state, _ = train_single(genome, data, cfg, seed=4)
+    model = build_keras_model(genome, 4, data["x_val"].shape[1:3], template)
+    transplant_weights(model, genome, params, state)
+
+    fp = str(tmp_path / "m.tflite")
+    q8 = str(tmp_path / "m_int8.tflite")
+    n_fp = export_tflite(model, fp)
+    n_q8 = export_tflite(model, q8, rep_data=data["x_train"][:64])
+    assert n_q8 < 0.5 * n_fp
+
+    interp = tf.lite.Interpreter(model_path=q8)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    scale, zero = inp["quantization"]
+    x = data["x_val"][:16]
+    preds = []
+    for i in range(len(x)):
+        xi = np.clip(np.round(x[i : i + 1] / scale + zero), -128, 127)
+        interp.set_tensor(inp["index"], xi.astype(np.int8))
+        interp.invoke()
+        preds.append(int(interp.get_tensor(out["index"]).argmax()))
+    float_preds = model.predict(x, verbose=0).argmax(-1)
+    agreement = float(np.mean(np.asarray(preds) == float_preds))
+    assert agreement >= 0.75, f"int8 top-1 agreement only {agreement}"
+    tf.keras.backend.clear_session()
