@@ -1,0 +1,206 @@
+"""Exhaustive ground truth: train the ENTIRE 288-genome search space.
+
+The reference's search space is fully enumerable (SURVEY.md §4 item 4), but
+its serial Keras loop makes exhaustive evaluation impractical (~288 x
+minutes-per-candidate per template). The population engine turns it into a
+minutes-scale job, which buys something no search paper usually has: the
+EXACT Pareto front of the space under the real trained objectives — so
+every method's search quality can be scored against absolute truth instead
+of the union-of-method-fronts approximation (compare.ipynb's `true_front`).
+
+Two sweeps cover the all-8 harness's method families exactly (same shared
+dataset, same per-family TrainConfig, same evaluator seed). Measured
+cross-run reproduction for genomes the methods truly evaluated: sizes are
+EXACT (analytic), accuracy within ~0.2-0.6% — a few borderline val-sample
+flips from bf16 reassociation under different bucket compositions over 30
+epochs (the f32 composition-invariance tests bound this at the ulp level;
+bf16 training amplifies it to whole sample flips):
+
+* template B / accuracy_from=best  — the six (SA-)NSGA-II variants
+* template A / accuracy_from=last_epoch — the two MOBO variants
+
+    python examples/run_exhaustive.py [--out /tmp/exhaustive] [--epochs 30]
+        [--seed 7] [--cpu]
+
+Outputs: exhaustive_{A,B}_288.csv (all genomes + objectives + CV +
+true-front membership) and exhaustive_report.json (exact GD/IGD/coverage
+of each committed all-8 method front vs the combined exhaustive truth,
+plus how many true-Pareto genomes each method actually found).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pandas as pd
+
+from cmoop_audio_processing_tpu.algorithms.ea import nondominated_mask
+from cmoop_audio_processing_tpu.core.config import (
+    Constraints,
+    DataConfig,
+    get_preset,
+)
+from cmoop_audio_processing_tpu.core.genome import GENE_ORDER, all_genomes
+from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+from cmoop_audio_processing_tpu.metrics.quality import (
+    coverage_metric,
+    generational_distance,
+    inverted_gd,
+    to_min_space,
+)
+
+# family -> (representative preset for TrainConfig, committed method fronts)
+FAMILIES = {
+    "B": ("sa_nsga_local",
+          ["SA_NSGA-II=front_sa_nsga_penalty.csv",
+           "SA_NSGA-II_LS=front_sa_nsga_local.csv",
+           "INIT_SA_NSGA-II=front_sa_nsga_init.csv",
+           "INIT_SA_NSGA-II_LS=front_init_sa_nsga_local.csv",
+           "2_stage_SA_NSGA-II=front_psi_init_sa_nsga.csv",
+           "2_stage_SA-NSGA-II_LS=front_psi_sa_nsga_local.csv"]),
+    "A": ("mobo_penalty",
+          ["MOBO=front_mobo_penalty.csv",
+           "2_stage_MOBO=front_psi_mobo_2.csv"]),
+}
+CONSTRAINTS = Constraints(0.90, 2.5, 0.09)  # the harness's shared set
+
+
+def sweep(template: str, epochs: int, seed: int, fake: bool):
+    preset, _ = FAMILIES[template]
+    cfg = get_preset(preset)
+    train = dataclasses.replace(cfg.train, epochs=epochs, num_classes=10)
+    data = prepare_dataset(DataConfig(num_classes=10))
+    # sort so each 16-lane chunk is depth-uniform: every launched program is
+    # then fully specialized (BucketSpec.max_blocks == the chunk's depth)
+    genomes = sorted(
+        all_genomes(),
+        key=lambda g: (g["filters"], g["kernel_size"], g["residual_blocks"]),
+    )
+    if fake:
+        from cmoop_audio_processing_tpu.engine.evaluator import FakeEvaluator
+
+        fits = FakeEvaluator(
+            num_classes=10, template=template
+        ).evaluate(genomes, seed=seed)
+    else:
+        fits = PopulationEvaluator(data, train).evaluate(genomes, seed=seed)
+    rows = []
+    for g, (acc, size, fpr) in zip(genomes, fits):
+        rows.append({
+            "Accuracy": acc, "Size_MB": size, "FPR": fpr,
+            "CV": CONSTRAINTS.violation(acc, size, fpr),
+            **{k: g[k] for k in GENE_ORDER},
+        })
+    return pd.DataFrame(rows)
+
+
+def genome_key_of_row(row) -> tuple:
+    return tuple(
+        bool(row[k]) if k in ("use_bn", "use_dropout") else int(row[k])
+        for k in GENE_ORDER
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/exhaustive")
+    p.add_argument("--epochs", type=int, default=30)  # the all-8 budget
+    p.add_argument("--seed", type=int, default=7)     # the all-8 run seed
+    p.add_argument("--all8-dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "all8"))
+    p.add_argument("--fake-eval", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    # ---- the two 288-genome sweeps ---------------------------------------
+    truths = {}
+    for template in ("B", "A"):
+        t0 = time.perf_counter()
+        df = sweep(template, args.epochs, args.seed, args.fake_eval)
+        feasible = df["CV"] == 0
+        pts = to_min_space(df[["Accuracy", "Size_MB", "FPR"]].to_numpy())
+        on_front = np.zeros(len(df), bool)
+        idx = np.nonzero(feasible.to_numpy())[0]
+        if len(idx):
+            on_front[idx[nondominated_mask(pts[idx])]] = True
+        df["feasible"] = feasible
+        df["on_true_front"] = on_front
+        path = os.path.join(args.out, f"exhaustive_{template}_288.csv")
+        df.to_csv(path, index=False)
+        truths[template] = df
+        print(f"[exhaustive] template {template}: 288 trainings in "
+              f"{time.perf_counter() - t0:.0f}s; {int(feasible.sum())} "
+              f"feasible, {int(on_front.sum())} on the template's true "
+              f"front -> {path}", file=sys.stderr)
+
+    # combined truth across both families (the attainable front of the
+    # whole method family space)
+    both = pd.concat([truths["B"].assign(template="B"),
+                      truths["A"].assign(template="A")], ignore_index=True)
+    feas = both[both["CV"] == 0].reset_index(drop=True)
+    pts = to_min_space(feas[["Accuracy", "Size_MB", "FPR"]].to_numpy())
+    mask = nondominated_mask(pts)
+    combined = feas[mask].reset_index(drop=True)
+    combined_pts = pts[mask]
+    true_keys = {
+        (r["template"], genome_key_of_row(r)) for _, r in combined.iterrows()
+    }
+
+    # ---- exact scores for the committed all-8 method fronts --------------
+    report = {
+        "epochs": args.epochs, "seed": args.seed,
+        "combined_true_front_size": int(len(combined)),
+        "per_template_front_size": {
+            t: int(truths[t]["on_true_front"].sum()) for t in truths
+        },
+        "methods": {},
+    }
+    for template, (_, fronts) in FAMILIES.items():
+        for spec_str in fronts:
+            name, fname = spec_str.split("=")
+            fpath = os.path.join(args.all8_dir, fname)
+            if not os.path.exists(fpath):
+                print(f"[exhaustive] missing front {fpath}, skipping",
+                      file=sys.stderr)
+                continue
+            fr = pd.read_csv(fpath)
+            pts_m = to_min_space(
+                fr[["Accuracy", "Size_MB", "FPR"]].to_numpy())
+            found = sum(
+                (template, genome_key_of_row(r)) in true_keys
+                for _, r in fr.iterrows()
+            )
+            report["methods"][name] = {
+                "template": template,
+                "front_rows": int(len(fr)),
+                "gd_vs_truth": generational_distance(pts_m, combined_pts),
+                "igd_vs_truth": inverted_gd(pts_m, combined_pts),
+                "truth_covers_method": coverage_metric(combined_pts, pts_m),
+                "true_pareto_genomes_found": int(found),
+            }
+
+    rpath = os.path.join(args.out, "exhaustive_report.json")
+    with open(rpath, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[exhaustive] report -> {rpath}", file=sys.stderr)
+    print(json.dumps({k: v for k, v in report.items() if k != "methods"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -122,3 +122,42 @@ def test_paper_ordering_distributional_across_seeds():
     assert strict * 2 > len(reports), (
         f"strict ordering held in only {strict}/{len(reports)} seeds"
     )
+
+
+def test_exhaustive_ground_truth_artifact():
+    """examples/exhaustive/: the whole 288-genome space trained for both
+    method families (576 real trainings) — structural integrity plus the
+    exact-truth claims that the committed data supports."""
+    base = os.path.join(os.path.dirname(REPORT), "exhaustive")
+    report = json.load(open(os.path.join(base, "exhaustive_report.json")))
+    import csv
+
+    for template in ("A", "B"):
+        with open(os.path.join(base, f"exhaustive_{template}_288.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 288
+        n_front = sum(r["on_true_front"] == "True" for r in rows)
+        assert n_front == report["per_template_front_size"][template] > 0
+        # exhaustive sizes are the analytic truth
+        from cmoop_audio_processing_tpu.models.genome_arch import model_size_mb
+
+        r0 = rows[0]
+        g = {
+            "filters": int(r0["filters"]),
+            "kernel_size": int(r0["kernel_size"]),
+            "use_bn": r0["use_bn"] == "True",
+            "residual_blocks": int(r0["residual_blocks"]),
+            "fc_layers": int(r0["fc_layers"]),
+            "use_dropout": r0["use_dropout"] == "True",
+        }
+        assert float(r0["Size_MB"]) == model_size_mb(g, 10, template)
+
+    m = report["methods"]
+    assert sorted(m) == sorted(METHODS)
+    for name, entry in m.items():
+        assert entry["front_rows"] > 0
+        assert 0.0 <= entry["truth_covers_method"] <= 1.0
+        assert entry["igd_vs_truth"] > 0
+    # the 2-stage > plain MOBO ordering holds against ABSOLUTE truth too
+    assert m["2_stage_MOBO"]["igd_vs_truth"] < m["MOBO"]["igd_vs_truth"]
+    assert m["2_stage_MOBO"]["gd_vs_truth"] < m["MOBO"]["gd_vs_truth"]
