@@ -108,13 +108,22 @@ def main() -> int:
     # --- serial path (reference execution model) ---
     # The serial cost model is the sum over genomes of each genome's own
     # training time (early stopping included), exactly like the reference's
-    # one-fit-per-candidate loop. One warmup per bucket hides compiles.
+    # one-fit-per-candidate loop. Warm up one genome per (bucket, depth):
+    # single-genome launches specialize to the genome's OWN depth
+    # (BucketSpec.max_blocks), so each depth is a distinct program — warming
+    # only per bucket would leave compile/cache-load costs inside the timed
+    # loop and unfairly inflate vs_baseline.
     ev1 = make_eval(1)
     buckets = {}
     for g in genomes:
         buckets.setdefault((g["filters"], g["kernel_size"]), []).append(g)
-    for members in buckets.values():
-        ev1.evaluate([members[0]], seed=0)  # warmup: compile this bucket
+    programs = {}
+    for g in genomes:
+        programs.setdefault(
+            (g["filters"], g["kernel_size"], g["residual_blocks"]), g
+        )
+    for g in programs.values():
+        ev1.evaluate([g], seed=0)  # warmup: compile this program
 
     if time.perf_counter() - bench_t0 < budget - 120:
         t0 = time.perf_counter()
