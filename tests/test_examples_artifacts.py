@@ -161,3 +161,15 @@ def test_exhaustive_ground_truth_artifact():
     # the 2-stage > plain MOBO ordering holds against ABSOLUTE truth too
     assert m["2_stage_MOBO"]["igd_vs_truth"] < m["MOBO"]["igd_vs_truth"]
     assert m["2_stage_MOBO"]["gd_vs_truth"] < m["MOBO"]["gd_vs_truth"]
+    # optimality gap: every method's exported front realizes a sane share
+    # of the attainable hypervolume, and the paper's orderings hold in
+    # absolute terms (2-stage SA variants closest to optimal; 2_stage_MOBO
+    # above plain MOBO)
+    assert report["attainable_hypervolume"] > 0
+    for entry in m.values():
+        assert 0.0 < entry["hv_fraction_of_attainable"] <= 1.01
+    sa = m["SA_NSGA-II"]["hv_fraction_of_attainable"]
+    for name in ("2_stage_SA_NSGA-II", "2_stage_SA-NSGA-II_LS"):
+        assert m[name]["hv_fraction_of_attainable"] >= sa, name
+    assert (m["2_stage_MOBO"]["hv_fraction_of_attainable"]
+            > m["MOBO"]["hv_fraction_of_attainable"])
