@@ -97,12 +97,20 @@ def main() -> int:
     # the warmup, and the measurement shows steady-state throughput.
     ev = make_eval(16)
     ev.evaluate(genomes, seed=1)  # warmup: compile + trace
+    n_reps = int(os.environ.get("BENCH_REPS", "5"))
     reps = []
-    for _ in range(2):  # median of repeats damps tunnel-latency noise
+    for _ in range(n_reps):  # median of repeats damps tunnel-latency noise
         t0 = time.perf_counter()
         ev.evaluate(genomes, seed=1)
         reps.append(time.perf_counter() - t0)
-    pop_seconds = sorted(reps)[len(reps) // 2]
+    reps_sorted = sorted(reps)
+    pop_seconds = reps_sorted[len(reps) // 2]
+    # interquartile spread of the repeats — the honest per-run noise figure
+    # (the tunnel's dispatch latency drifts; PERF.md measurement caveat)
+    q1 = reps_sorted[len(reps) // 4]
+    q3 = reps_sorted[(3 * len(reps)) // 4]
+    pop_iqr_frac = (q3 - q1) / pop_seconds
+    launches_per_gen = ev.timings[-1]["launches"]
     pop_rate = 3600.0 * pop_size / pop_seconds
 
     # --- serial path (reference execution model) ---
@@ -221,6 +229,10 @@ def main() -> int:
         "value": round(pop_rate, 1),
         "unit": "evals/h",
         "vs_baseline": round(pop_rate / serial_rate, 2),
+        "serial_mode": serial_mode,
+        "repeats": n_reps,
+        "iqr_frac": round(pop_iqr_frac, 3),
+        "launches_per_gen": launches_per_gen,
         "mfcc_frames_per_sec": round(mfcc_fps, 0),
         "train_tflops_per_sec": round(executed / pop_seconds / 1e12, 2),
         "mfu": round(mfu, 4),
@@ -228,7 +240,8 @@ def main() -> int:
     }
     # detail for humans on stderr; the contract line on stdout
     print(
-        f"population: {pop_size} evals in {pop_seconds:.1f}s ({pop_rate:.0f}/h); "
+        f"population: {pop_size} evals in {pop_seconds:.1f}s ({pop_rate:.0f}/h, "
+        f"IQR {pop_iqr_frac:.0%} of median, {launches_per_gen} launches); "
         f"serial[{serial_mode}]: {serial_seconds:.1f}s ({serial_rate:.0f}/h); "
         f"executed {executed/1e12:.2f} TFLOP, {executed/pop_seconds/1e12:.2f} TFLOP/s, "
         f"MFU {mfu:.1%}; mfcc: {mfcc_fps:.0f} frames/s "

@@ -78,16 +78,23 @@ class PopulationEvaluator:
             raise ValueError(f"unknown bucket_genes {unknown!r}")
         self.cfg = train_cfg
         self.mesh = mesh
+        # Population execution under a mesh: grouped-conv lanes CANNOT shard
+        # through GSPMD (the pop axis is merged into conv channels), but they
+        # compose with the mesh via shard_map — each device group runs the
+        # grouped forward over its own population shard
+        # (_get_sharded_run_full). Only a >1 'data' axis still forces vmap
+        # lanes: batch-sharded BN statistics/grad psums rely on GSPMD's
+        # automatic collectives, which shard_map would require by hand.
+        impl = train_cfg.parallel_impl
+        if mesh is not None and int(mesh.shape["data"]) > 1:
+            impl = "vmap"
         self.settings = TrainSettings(
             epochs=train_cfg.epochs,
             batch_size=train_cfg.batch_size,
             patience=train_cfg.patience,
             learning_rate=train_cfg.learning_rate,
             restore_best_weights=train_cfg.restore_best_weights,
-            # with a device mesh the population axis shards over chips, which
-            # requires per-model vmap lanes; grouped-conv (pop merged into
-            # channels) is the single-chip MXU-utilization strategy
-            parallel_impl="vmap" if mesh is not None else train_cfg.parallel_impl,
+            parallel_impl=impl,
             compaction_chunk=train_cfg.compaction_chunk,
         )
         # pre-pad datasets once; device transfer happens lazily on first use
@@ -121,6 +128,7 @@ class PopulationEvaluator:
         self._val = (place(xval), place(yval), place(wval))
         self._compiled: Dict[tuple, "jax.stages.Wrapped"] = {}
         self._eval_count = 0
+        self._launch_count = 0  # device-program dispatches this evaluate()
         self.timings: List[Dict] = []
 
     # -- caching --------------------------------------------------------------
@@ -146,9 +154,47 @@ class PopulationEvaluator:
             self._compiled[cache_key] = dataclasses.replace(
                 t,
                 train=jax.jit(t.train),
+                run_full=jax.jit(t.run_full),
                 run_chunk=jax.jit(t.run_chunk),
                 finalize=jax.jit(t.finalize),
             )
+        return self._compiled[cache_key]
+
+    def _get_sharded_run_full(self, spec: BucketSpec, pop: int):
+        """Fused bucket program shard_map'd over the mesh's 'pop' axis.
+
+        Each device group receives its population shard (flags only — params
+        are initialized INSIDE the program from the genome uids) plus the
+        replicated dataset, and runs the full grouped-conv (or vmap) training
+        loop locally: zero collectives on the training path, and still ONE
+        launch per bucket. This is how the grouped-conv single-chip MXU
+        strategy (models/grouped.py) composes with population
+        data-parallelism (SURVEY.md §2.3) — GSPMD alone cannot shard it
+        because grouped-conv merges the pop axis into conv channels.
+        Requires mesh data axis == 1 (a sharded batch would need hand-rolled
+        BN-stat/grad psums inside the shard)."""
+        from jax.sharding import PartitionSpec as P
+
+        cache_key = (spec, pop, "shard_map")
+        if cache_key not in self._compiled:
+            t = make_population_trainer(spec, self.settings, self.cfg.num_classes)
+            fn = jax.shard_map(
+                t.run_full,
+                mesh=self.mesh,
+                in_specs=(
+                    P("pop"),  # flags: per-lane genome identity
+                    P(), P(), P(),  # train set (replicated)
+                    P(), P(), P(),  # val set (replicated)
+                    P(), P(),  # base/train keys
+                    P(),  # dynamic epoch cap
+                ),
+                out_specs=P("pop"),
+                # per-lane early stopping exits each shard's while_loop when
+                # ITS lanes are done; stopped lanes freeze, so per-genome
+                # results are invariant to the other shards' schedules
+                check_vma=False,
+            )
+            self._compiled[cache_key] = jax.jit(fn)
         return self._compiled[cache_key]
 
     # -- evaluation -----------------------------------------------------------
@@ -157,6 +203,7 @@ class PopulationEvaluator:
         """Evaluate all genomes; returns fitness per genome in input order.
         Genomes sharing a bucket train together in one program launch."""
         t0 = time.perf_counter()
+        self._launch_count = 0
         for g in genomes:
             validate(g)  # out-of-space genomes would silently mis-bucket
         bucket_genes = self.cfg.bucket_genes
@@ -166,10 +213,12 @@ class PopulationEvaluator:
             buckets.setdefault(key, []).append(i)
 
         results: List[Optional[Fitness]] = [None] * len(genomes)
-        # Two-pass async dispatch: every bucket's program chain (device init
-        # -> train while_loop -> finalize) is LAUNCHED before any result is
-        # materialized, so the per-launch dispatch latency (~0.2 s through a
-        # remote-TPU tunnel) overlaps across buckets instead of summing.
+        # Two-pass async dispatch: every bucket's FUSED program (population
+        # init + train while_loop + final metrics in one launch,
+        # trainer.run_full) is dispatched before any result is materialized,
+        # so the per-launch dispatch latency (~0.2 s through a remote-TPU
+        # tunnel) overlaps across buckets instead of summing — and each
+        # one-shot bucket is exactly ONE launch.
         # Caveat: the compaction path (effective chunk > 0) must materialize
         # per-chunk stop masks inline, so those buckets synchronize inside
         # the first pass — compaction trades dispatch overlap for dropped
@@ -187,9 +236,12 @@ class PopulationEvaluator:
             for start in range(0, len(sub), pop):
                 chunk_idx = idxs[start : start + pop]
                 chunk = sub[start : start + pop]
-                padded = list(chunk) + [chunk[0]] * (
-                    _next_pow2(max(len(chunk), 1)) - len(chunk)
-                )
+                target = _next_pow2(max(len(chunk), 1))
+                if self.mesh is not None:
+                    # lanes shard over 'pop': pad to a device-count multiple
+                    npop = int(self.mesh.shape["pop"])
+                    target = -(-target // npop) * npop
+                padded = list(chunk) + [chunk[0]] * (target - len(chunk))
                 # specialize the program to the deepest genome actually in
                 # this launch: a shallow launch skips the unused residual
                 # blocks instead of masking them (models/supernet.py). Per-
@@ -229,6 +281,8 @@ class PopulationEvaluator:
             {
                 "n_genomes": len(genomes),
                 "n_buckets": len(buckets),
+                # major device-program dispatches (fused one-shot bucket = 1)
+                "launches": self._launch_count,
                 "seconds": time.perf_counter() - t0,
                 # per-chunk execution shape for FLOPs/MFU accounting:
                 # lockstep bills every (padded) lane until the slowest stops
@@ -307,27 +361,64 @@ class PopulationEvaluator:
         return out, carry
 
     def _run_bucket(self, spec: BucketSpec, padded: List[Genome], seed: int):
+        from ..models.supernet import stack_flags
+
         pop = len(padded)
-        params, state, flags, train_key = self._init_bucket_population(
-            spec, padded, seed
-        )
+        # genome-identity flags + the run's base/train keys; per-genome init
+        # keys are folded from flags['uid'] INSIDE the fused program
+        # (models/supernet.init_population_in_program), matching
+        # _init_bucket_population's host-side folding bit for bit
+        flags = stack_flags(padded)
+        base_key = jax.random.key(seed)
+        train_key = jax.random.fold_in(base_key, 1)
         xtr, ytr, wtr = self._train
         xval, yval, wval = self._val
         acc_key = "acc_eval" if self.cfg.accuracy_from == "best" else "acc_last"
 
         chunk = self._effective_chunk(pop)
         if chunk <= 0:
-            # one-shot (a mesh also forces this — see _effective_chunk).
+            # One-shot (a mesh also forces this — see _effective_chunk).
             # The epoch cap is passed as a call-site ARGUMENT so one compiled
             # program serves every epoch budget (a cap created inside the
             # traced function would bake in as a literal).
-            trainer = self._get_trainer(spec, pop)
-            carry = trainer.init_carry(params, state, flags)
-            carry = trainer.run_chunk(
-                carry, xtr, ytr, wtr, xval, yval, wval, train_key,
-                jnp.asarray(self.settings.epochs, jnp.int32),
-            )
-            out = trainer.finalize(carry, xval, yval, wval)
+            if self.mesh is None:
+                # the whole bucket is ONE fused launch: population init +
+                # epoch while_loop + final metrics (trainer.run_full) — the
+                # dominant cost of a warm-cache generation is per-launch
+                # dispatch latency, not compute (PERF.md)
+                trainer = self._get_trainer(spec, pop)
+                out = trainer.run_full(
+                    flags, xtr, ytr, wtr, xval, yval, wval,
+                    base_key, train_key,
+                    jnp.asarray(self.settings.epochs, jnp.int32),
+                )
+                self._launch_count += 1
+            elif int(self.mesh.shape["data"]) == 1:
+                # mesh, data axis 1: the same fused program, shard_map'd so
+                # each device group trains its population shard with the
+                # grouped-conv (or vmap) forward — still one launch
+                out = self._get_sharded_run_full(spec, pop)(
+                    flags, xtr, ytr, wtr, xval, yval, wval,
+                    base_key, train_key,
+                    jnp.asarray(self.settings.epochs, jnp.int32),
+                )
+                self._launch_count += 1
+            else:
+                # mesh with a sharded batch (data axis > 1): vmap lanes under
+                # GSPMD, which inserts the BN-stat/grad psums automatically;
+                # params are initialized and explicitly sharded over 'pop'
+                # first (_init_bucket_population), then the chain runs
+                trainer = self._get_trainer(spec, pop)
+                params, state, flags, train_key = (
+                    self._init_bucket_population(spec, padded, seed)
+                )
+                carry = trainer.init_carry(params, state, flags)
+                carry = trainer.run_chunk(
+                    carry, xtr, ytr, wtr, xval, yval, wval, train_key,
+                    jnp.asarray(self.settings.epochs, jnp.int32),
+                )
+                out = trainer.finalize(carry, xval, yval, wval)
+                self._launch_count += 4  # init_pop + carry + chunk + final
             # device arrays on purpose: evaluate() materializes AFTER every
             # bucket's programs are dispatched (async launch overlap)
             return {
@@ -340,8 +431,16 @@ class PopulationEvaluator:
         # models early-stopped are finalized and dropped, and the survivors
         # continue in a half-or-smaller program — the lockstep while_loop
         # otherwise bills every lane for the SLOWEST model's epochs.
+        # (Never fused: compaction must materialize stop masks between
+        # chunks, so it keeps the explicit init/run/finalize chain. Only
+        # reachable with mesh=None — _effective_chunk forces one-shot on a
+        # mesh.)
+        params, state, flags, train_key = self._init_bucket_population(
+            spec, padded, seed
+        )
         trainer = self._get_trainer(spec, pop)
         carry = trainer.init_carry(params, state, flags)
+        self._launch_count += 2  # init_pop + init_carry
         lane_map = list(range(pop))  # current lane -> original padded index
         acc = np.zeros(pop)
         fpr = np.zeros(pop)
@@ -363,18 +462,21 @@ class PopulationEvaluator:
                 carry, xtr, ytr, wtr, xval, yval, wval, train_key,
                 jnp.asarray(target_epoch, jnp.int32),
             )
+            self._launch_count += 1
             stopped = np.asarray(carry["stopped"])
             done = bool(stopped.all()) or int(carry["epoch"]) >= self.settings.epochs
             cur_pop = len(lane_map)
             active = np.nonzero(~stopped)[0]
             target_pop = _next_pow2(max(len(active), 1))
             if done:
+                self._launch_count += 1
                 out = jax.tree.map(
                     np.asarray, trainer.finalize(carry, xval, yval, wval)
                 )
                 record(out, range(cur_pop))
                 break
             if target_pop <= cur_pop // 2:
+                self._launch_count += 1
                 out = jax.tree.map(
                     np.asarray, trainer.finalize(carry, xval, yval, wval)
                 )

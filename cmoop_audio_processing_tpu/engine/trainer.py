@@ -131,14 +131,21 @@ def gather_lanes(carry: Dict, lane_idx: np.ndarray) -> Dict:
 class PopulationTrainer:
     """Compiled population-training programs for one bucket.
 
-    ``train`` is the one-shot path; ``init_carry``/``run_chunk``/``finalize``
-    expose chunked execution so the evaluator can compact early-stopped
-    lanes out of the program between chunks (engine/evaluator.py) — without
-    compaction the lockstep while_loop runs every lane until the SLOWEST
-    model stops.
+    ``run_full`` is the one-shot path: population init + the whole epoch
+    while_loop + final metrics fused into ONE program, so a bucket costs a
+    single launch (the per-launch dispatch latency through a remote-TPU
+    tunnel is ~0.2 s — with 2-6 buckets per generation the old
+    init/run/finalize chain was the measured bottleneck, PERF.md).
+    ``init_carry``/``run_chunk``/``finalize`` expose chunked execution so
+    the evaluator can compact early-stopped lanes out of the program between
+    chunks (engine/evaluator.py) — without compaction the lockstep
+    while_loop runs every lane until the SLOWEST model stops. ``train`` is
+    the params-in one-shot convenience used by trainer-level tests and the
+    dryrun entry.
     """
 
     train: "callable"
+    run_full: "callable"
     init_carry: "callable"
     run_chunk: "callable"
     finalize: "callable"
@@ -406,8 +413,26 @@ def make_population_trainer(
         )
         return finalize(carry, xval, yval, wval)
 
+    def run_full(
+        flags, xtr, ytr, wtr, xval, yval, wval, base_key, key, epoch_end
+    ):
+        """Fused one-shot bucket program: genome-keyed population init +
+        carry init + the epoch while_loop + restore-best final metrics, all
+        in ONE launch. ``epoch_end`` stays a dynamic operand (one compiled
+        program serves every epoch budget); no carry buffers ever cross the
+        host boundary, so there is nothing to donate or transfer."""
+        from ..models.supernet import init_population_in_program
+
+        params, state = init_population_in_program(base_key, flags, spec)
+        carry = init_carry(params, state, flags)
+        carry = run_chunk(
+            carry, xtr, ytr, wtr, xval, yval, wval, key, epoch_end
+        )
+        return finalize(carry, xval, yval, wval)
+
     return PopulationTrainer(
         train=train_fn,
+        run_full=run_full,
         init_carry=init_carry,
         run_chunk=run_chunk,
         finalize=finalize,

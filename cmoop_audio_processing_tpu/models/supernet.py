@@ -462,6 +462,23 @@ def init_population_device(keys, n_blocks, fc_entry, spec: BucketSpec):
     return _init_population_device_jit(keys, n_blocks, fc_entry, spec)
 
 
+def init_population_in_program(base_key, flags: Dict, spec: BucketSpec):
+    """Population init as a traceable SUB-function, for fusing into a larger
+    program (engine/trainer.py ``run_full`` builds init + the whole training
+    loop + final metrics into ONE launch — the per-launch dispatch latency
+    through a remote-TPU tunnel makes every extra program ~0.2 s).
+
+    Per-genome keys are folded from the genome-identity ``uid`` flag (crc32
+    of the canonical genome key, ``flags_from_genome``), so a genome's
+    parameters depend only on (base_key, genome) — bitwise identical to the
+    standalone ``init_population_device`` path, which folds the same uid
+    values host-side (engine/evaluator.py)."""
+    keys = jax.vmap(lambda u: jax.random.fold_in(base_key, u))(flags["uid"])
+    return jax.vmap(lambda k_, nb, fe: _init_params_traced(k_, nb, fe, spec))(
+        keys, flags["n_blocks"], flags["fc_entry"]
+    )
+
+
 def stack_flags(genomes) -> Dict[str, jnp.ndarray]:
     """Stacked per-lane flag arrays for a (padded) population — the single
     source of truth for the flag layout (FLAG_NAMES)."""

@@ -69,7 +69,9 @@ def test_graft_dryrun_multichip():
 
 def test_population_evaluator_on_mesh():
     """The full evaluator path with a device mesh: population axis sharded
-    over 8 virtual devices, vmap lanes, one-shot training."""
+    over 8 virtual devices, GROUPED-conv forward inside each shard_map
+    shard (the single-chip MXU strategy composes with the mesh), one fused
+    launch per bucket."""
     from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
     from cmoop_audio_processing_tpu.core.genome import all_genomes
     from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
@@ -85,13 +87,53 @@ def test_population_evaluator_on_mesh():
         compute_dtype="float32",
     )
     ev = PopulationEvaluator(data, cfg, mesh=mesh)
-    assert ev.settings.parallel_impl == "vmap"  # mesh forces per-model lanes
+    # a data-1 mesh keeps the configured grouped impl (shard_map path);
+    # only a sharded batch forces vmap lanes (GSPMD-managed psums)
+    assert ev.settings.parallel_impl == "grouped"
+    assert PopulationEvaluator(
+        data, cfg, mesh=population_mesh(4, 2)
+    ).settings.parallel_impl == "vmap"
     genomes = [g for g in all_genomes() if g["filters"] == 16 and g["kernel_size"] == 3][:8]
     fits = ev.evaluate(genomes, seed=0)
     arr = np.asarray(fits)
     assert arr.shape == (8, 3)
     assert np.isfinite(arr).all()
     assert (arr[:, 1] > 0).all()  # sizes positive
+    assert ev.timings[-1]["launches"] == 1  # one fused shard_map launch
+
+
+def test_grouped_mesh_matches_single_device_grouped():
+    """shard_map'd grouped execution (8-way pop sharding) reproduces the
+    single-device grouped evaluator's fitness — anchoring the mesh path to
+    the pinned grouped==vmap bitwise contract (tests/test_grouped.py)."""
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.core.genome import all_genomes
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=64, synthetic_eval=32, time_steps=12,
+                   features=8, num_classes=4)
+    )
+    cfg = TrainConfig(
+        epochs=3, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32", parallel_impl="grouped",
+    )
+    # mix of depths/flags, including dropout lanes; 6 genomes pad to 8 lanes
+    genomes = [g for g in all_genomes()
+               if g["filters"] == 16 and g["kernel_size"] == 3][:6]
+    ref = np.asarray(PopulationEvaluator(data, cfg).evaluate(genomes, seed=0))
+    out = np.asarray(
+        PopulationEvaluator(
+            data, cfg, mesh=population_mesh(8, 1)
+        ).evaluate(genomes, seed=0)
+    )
+    # sizes analytic-exact; acc/fpr to reduction-order tolerance (each shard
+    # trains 1 lane vs 8 merged conv groups single-device — identical math,
+    # different tiling)
+    np.testing.assert_array_equal(out[:, 1], ref[:, 1])
+    np.testing.assert_allclose(out[:, 0], ref[:, 0], atol=2e-3)
+    np.testing.assert_allclose(out[:, 2], ref[:, 2], atol=2e-3)
 
 
 def test_graft_dryrun_bare_subprocess():
@@ -170,12 +212,21 @@ def test_distributed_init_noop_single_process():
 
 
 def test_population_evaluator_data_mesh_matches_no_mesh():
-    """Evaluator on a (4 pop x 2 data) mesh == plain single-device run:
-    same genome-keyed inits, batch rows sharded over 'data'."""
+    """Evaluator on a (4 pop x 2 data) mesh == plain single-device run,
+    pinned at LOGITS level (not argmax-quantized accuracy bounds): the
+    data-axis grad psum reduces in a different order than the single-device
+    sum, so trained params differ in the last ulps — but the restored-best
+    models' val logits must agree tightly, and every decisively-classified
+    val sample must get the IDENTICAL prediction. A genuine regression that
+    changes even one sample's handling moves logits far beyond these bands
+    (the earlier accuracy-quantum bounds tolerated a whole sample flip per
+    model and 0.02 FPR drift — too loose to catch that)."""
+    import jax.numpy as jnp
     from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
     from cmoop_audio_processing_tpu.core.genome import all_genomes
     from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
     from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+    from cmoop_audio_processing_tpu.models.supernet import apply_model
 
     data = prepare_dataset(
         DataConfig(synthetic_train=64, synthetic_eval=32, time_steps=12,
@@ -187,27 +238,60 @@ def test_population_evaluator_data_mesh_matches_no_mesh():
     )
     genomes = [g for g in all_genomes()
                if g["filters"] == 16 and g["kernel_size"] == 3][:4]
+    spec_args = (16, 3, max(g["residual_blocks"] for g in genomes))
 
-    ref = np.asarray(PopulationEvaluator(data, cfg).evaluate(genomes, seed=0))
-    mesh = population_mesh(4, 2)
-    out = np.asarray(
-        PopulationEvaluator(data, cfg, mesh=mesh).evaluate(genomes, seed=0))
-    # Same inits, same shuffle stream, same arithmetic — but the data-axis
-    # grad psum reduces in a different order than the single-device sum, so
-    # trained params differ in the last ulps and a borderline val sample can
-    # flip its argmax (host-codegen dependent). Sizes must be exact; acc may
-    # move by at most ONE val-sample quantum (1/32) per model, fpr by the
-    # corresponding confusion-matrix flip.
-    np.testing.assert_array_equal(out[:, 1], ref[:, 1])
-    n_val = data["x_val"].shape[0]
-    assert np.all(np.abs(out[:, 0] - ref[:, 0]) <= 1.0 / n_val + 1e-7)
-    assert np.all(np.abs(out[:, 2] - ref[:, 2]) <= 0.02)
-    # and the flips must be rare: at most one borderline sample per model.
-    # (The earlier "one flip across the whole population" bound flaked in
-    # full-suite runs — which borderline sample tips depends on the exact
-    # executable the multithreaded CPU backend picks, so per-model is the
-    # tightest order-stable bound.)
-    assert np.abs(out[:, 0] - ref[:, 0]).sum() <= (len(genomes) + 0.5) / n_val
+    def run(mesh):
+        """The evaluator's exact one-shot bucket path, keeping the carry."""
+        ev = PopulationEvaluator(data, cfg, mesh=mesh)
+        fits = np.asarray(ev.evaluate(genomes, seed=0))
+        spec = ev._bucket_spec(*spec_args)
+        params, state, flags, train_key = ev._init_bucket_population(
+            spec, genomes, 0
+        )
+        trainer = ev._get_trainer(spec, len(genomes))
+        carry = trainer.init_carry(params, state, flags)
+        carry = trainer.run_chunk(
+            carry, *ev._train, *ev._val, train_key,
+            jnp.asarray(ev.settings.epochs, jnp.int32),
+        )
+        # restored-best eval-mode logits over the (unpadded) val set,
+        # recomputed on the DEFAULT device for both runs so the comparison
+        # itself is order-identical arithmetic; accumulated in f64 on host
+        p, s, f = (
+            jax.tree.map(np.asarray, carry[k])
+            for k in ("best_params", "best_state", "flags")
+        )
+        logits = jax.vmap(
+            lambda pp, ss, ff: apply_model(
+                spec, pp, ss, ff, jnp.asarray(data["x_val"]), train=False
+            )[0]
+        )(p, s, f)
+        return fits, np.asarray(logits, np.float64)  # (P, N, C)
+
+    ref_fits, ref_lg = run(None)
+    mesh_fits, mesh_lg = run(population_mesh(4, 2))
+
+    # sizes are analytic — exact
+    np.testing.assert_array_equal(mesh_fits[:, 1], ref_fits[:, 1])
+    # each run's public accuracy == its own logits-derived accuracy: the
+    # pinned logits ARE what evaluate() scored (accuracy_from='best')
+    y = data["y_val"].astype(np.int64)
+    for fits, lg in ((ref_fits, ref_lg), (mesh_fits, mesh_lg)):
+        acc = (lg.argmax(-1) == y).mean(axis=1)
+        np.testing.assert_allclose(fits[:, 0], acc, atol=1e-6)
+    # logits agree to reduction-order tolerance ...
+    np.testing.assert_allclose(mesh_lg, ref_lg, atol=5e-3, rtol=0)
+    # ... and every decisive sample (top-1 margin above the psum noise
+    # floor) predicts identically; near-ties are the only legal flips
+    top2 = np.sort(ref_lg, axis=-1)[..., -2:]
+    # margin threshold = 2x the logits agreement band above, so a legal flip
+    # is arithmetically impossible on a decisive sample; after only 2 epochs
+    # these tiny models still leave ~half the val set decisive
+    decisive = (top2[..., 1] - top2[..., 0]) > 1e-2
+    assert decisive.mean() > 0.4  # the bound must actually bite
+    np.testing.assert_array_equal(
+        mesh_lg.argmax(-1)[decisive], ref_lg.argmax(-1)[decisive]
+    )
 
 
 def test_population_evaluator_data_mesh_rejects_bad_batch():
