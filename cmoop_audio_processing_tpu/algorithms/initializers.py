@@ -76,15 +76,28 @@ def psi_init(
 ) -> List[Individual]:
     """Load stage-1 Pareto rows (Excel or CSV) as pre-evaluated individuals:
     genome columns + Accuracy/Size_MB/FPR, CV recomputed, no retraining
-    (psi_init_sa_nsga.py:365-379)."""
-    if seed_file.endswith((".xlsx", ".xls")):
-        try:
-            df = pd.read_excel(seed_file)
-        except ImportError:
-            # no Excel engine in the image: fall back to CSV twin
-            df = pd.read_csv(seed_file.rsplit(".", 1)[0] + ".csv")
-    else:
-        df = pd.read_csv(seed_file)
+    (psi_init_sa_nsga.py:365-379).
+
+    A missing seed file is reported and yields an EMPTY population instead of
+    raising, reproducing the reference's clean-exit handling of a missing
+    Final.xlsx (psi_mobo_2.py:365-369: print the error, return empty
+    results); the drivers treat an empty PSI init as a no-op run."""
+    import sys
+
+    try:
+        if seed_file.endswith((".xlsx", ".xls")):
+            try:
+                df = pd.read_excel(seed_file)
+            except ImportError:
+                # no Excel engine in the image: stdlib OOXML reader
+                from ..utils.xlsx import read_xlsx
+
+                df = read_xlsx(seed_file)
+        else:
+            df = pd.read_csv(seed_file)
+    except FileNotFoundError:
+        print(f"Error: The file '{seed_file}' was not found.", file=sys.stderr)
+        return []
 
     pop: List[Individual] = []
     for _, r in df.iterrows():

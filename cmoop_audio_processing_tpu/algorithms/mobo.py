@@ -71,6 +71,12 @@ def run_mobo(
         with StageTimer(reporter, "init_eval"):
             if cfg.psi_seed_file:
                 seeds = psi_init(cfg.psi_seed_file, cfg.constraints)
+                if not seeds:
+                    # missing/empty seed file: clean no-op, like the
+                    # reference's `return [], [], 0.0` (psi_mobo_2.py:365-369)
+                    if reporter:
+                        reporter.log("empty_init", initializer="psi")
+                    return [], []
                 all_genomes = [s["hparams"] for s in seeds]
                 x_vec = np.stack([to_vector(g) for g in all_genomes])
                 y_objs = np.array([s["objs"] for s in seeds], np.float64)
@@ -153,6 +159,18 @@ def run_mobo(
     if reporter:
         reporter.final_pareto(pareto, include_cv=True, filename="mobo_pareto.csv")
         reporter.all_generations()
+        if gen_dfs:
+            # the reference's single-sheet archive workbook
+            # (mobo_penalty.py:495-498: all_data.to_excel('mobo_iterations
+            # .xlsx')) — the final iteration's table IS the full archive
+            import os
+
+            from ..utils.xlsx import write_xlsx
+
+            write_xlsx(
+                os.path.join(reporter.dir, "mobo_iterations.xlsx"),
+                gen_dfs[-1],
+            )
     return pareto, gen_dfs
 
 

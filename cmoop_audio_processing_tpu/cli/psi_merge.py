@@ -16,8 +16,8 @@ automates that missing step:
 The merged file keeps the stage-2 loader's expected columns (Accuracy,
 Size_MB, FPR + the six genome columns; psi_init_sa_nsga.py:365-379).
 ``--dedup`` drops duplicate genomes keeping the first occurrence; ``--limit``
-truncates to the stage-2 population size. Writes .xlsx when an Excel engine
-is available and the filename asks for it, else CSV.
+truncates to the stage-2 population size. A ``.xlsx`` output filename
+produces a real workbook even without an Excel engine (utils/xlsx.py).
 """
 
 from __future__ import annotations
@@ -41,13 +41,29 @@ def merge(paths, dedup: bool = False, limit: int | None = None,
     front rather than exhausting the first file (the reference's manual
     merge is unspecified; balanced selection keeps the 2-stage seed diverse
     when the stage-2 population is smaller than the union)."""
+    import zipfile
+
+    def read_front(path: str) -> "pd.DataFrame | None":
+        if not path.endswith((".xlsx", ".xls")):
+            return pd.read_csv(path)
+        try:
+            return pd.read_excel(path)
+        except ImportError:
+            from ..utils.xlsx import read_xlsx
+
+            return read_xlsx(path)
+
     frames = []
     for path in paths:
         try:
-            df = pd.read_excel(path) if path.endswith((".xlsx", ".xls")) else pd.read_csv(path)
+            df = read_front(path)
         except pd.errors.EmptyDataError:
-            # empty CSV; read_excel never raises this — an empty .xlsx
-            # arrives as a zero-column frame instead (checked below)
+            # empty CSV — pandas raises; Excel paths signal emptiness
+            # differently (below)
+            df = None
+        except (ValueError, KeyError, zipfile.BadZipFile):
+            # zero-byte or corrupt .xlsx: treat like the empty-CSV case so
+            # one bad stage-1 export degrades to a skip, not a crash
             df = None
         if df is None or len(df.columns) == 0:
             # An infeasible stage-1 run exports an empty front (the reference
@@ -95,10 +111,11 @@ def main(argv=None) -> int:
         try:
             df.to_excel(args.out, index=False)
         except ImportError:
-            csv_out = args.out.rsplit(".", 1)[0] + ".csv"
-            df.to_csv(csv_out, index=False)
-            print(f"no Excel engine installed; wrote {csv_out} instead")
-            return 0
+            # no Excel engine installed: stdlib OOXML writer, so the
+            # stage-2 seed is a REAL Final.xlsx (psi_init_sa_nsga.py:365)
+            from ..utils.xlsx import write_xlsx
+
+            write_xlsx(args.out, df)
     else:
         df.to_csv(args.out, index=False)
     print(f"merged {len(df)} stage-1 solutions -> {args.out}")

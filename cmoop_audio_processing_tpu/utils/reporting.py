@@ -102,23 +102,25 @@ class RunReporter:
         return path
 
     def all_generations(self, filename: str = "all_generations.xlsx") -> str:
-        """Excel workbook with one sheet per generation; CSV fallback when no
-        Excel engine exists (sheet-per-file + combined CSV)."""
+        """Excel workbook with one sheet per generation — the literal
+        artifact format of nsga_penalty.py:785-788 (sheet names ``Gen_{i}``).
+        Written through pandas when an Excel engine is installed, else
+        through the stdlib writer (utils/xlsx.py); a combined CSV twin is
+        emitted alongside for grep-ability."""
+        path = os.path.join(self.dir, filename)
         if _excel_available():
-            path = os.path.join(self.dir, filename)
             with pd.ExcelWriter(path) as writer:
                 for i, df in enumerate(self.gen_dfs):
                     df.to_excel(writer, sheet_name=f"Gen_{i}", index=False)
-            return path
-        # fallback: directory of per-generation CSVs + combined
-        sheets_dir = os.path.join(self.dir, "all_generations")
-        os.makedirs(sheets_dir, exist_ok=True)
-        for i, df in enumerate(self.gen_dfs):
-            df.to_csv(os.path.join(sheets_dir, f"Gen_{i}.csv"), index=False)
+        else:
+            from .xlsx import write_xlsx
+
+            sheets = [(f"Gen_{i}", df) for i, df in enumerate(self.gen_dfs)]
+            write_xlsx(path, sheets or [("Gen_0", pd.DataFrame())])
         combined = os.path.join(self.dir, "all_generations.csv")
         if self.gen_dfs:
             pd.concat(self.gen_dfs, ignore_index=True).to_csv(combined, index=False)
-        return sheets_dir
+        return path
 
 
 class StageTimer:

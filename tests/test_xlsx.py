@@ -1,0 +1,193 @@
+"""Stdlib .xlsx writer/reader tests — the literal artifact-format parity
+layer (reference: all_generations.xlsx nsga_penalty.py:785-788, Final.xlsx
+psi_init_sa_nsga.py:365-379). This image has no Excel engine, so these tests
+run the branches that actually execute in production here."""
+
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cmoop_audio_processing_tpu.core.config import Constraints
+from cmoop_audio_processing_tpu.core.genome import GENE_ORDER, all_genomes
+from cmoop_audio_processing_tpu.utils.xlsx import (
+    read_xlsx,
+    sheet_names,
+    write_xlsx,
+)
+
+
+def _mixed_df():
+    return pd.DataFrame(
+        {
+            "name": ["alpha", "beta & <gamma>", ""],
+            "count": [1, 22, 333],
+            "score": [0.5, -1.25, 3.0],
+            "flag": [True, False, True],
+        }
+    )
+
+
+def test_roundtrip_types(tmp_path):
+    df = _mixed_df()
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, df)
+    back = read_xlsx(path)
+    assert list(back.columns) == list(df.columns)
+    assert back["name"].tolist() == df["name"].fillna("").tolist()
+    assert back["count"].tolist() == df["count"].tolist()
+    assert back["score"].tolist() == df["score"].tolist()
+    assert back["flag"].tolist() == df["flag"].tolist()
+    # ints survive as exact ints, not floats (genome columns depend on it)
+    assert all(isinstance(v, (int, np.integer)) for v in back["count"])
+
+
+def test_roundtrip_nan_becomes_blank(tmp_path):
+    df = pd.DataFrame({"a": [1.0, float("nan")], "b": ["x", "y"]})
+    path = str(tmp_path / "nan.xlsx")
+    write_xlsx(path, df)
+    back = read_xlsx(path)
+    assert back["a"][0] == 1.0
+    assert pd.isna(back["a"][1])
+
+
+def test_multi_sheet_by_index_and_name(tmp_path):
+    path = str(tmp_path / "multi.xlsx")
+    write_xlsx(
+        path,
+        [("Gen_0", pd.DataFrame({"x": [1]})), ("Gen_1", pd.DataFrame({"x": [2]}))],
+    )
+    assert sheet_names(path) == ["Gen_0", "Gen_1"]
+    assert read_xlsx(path, 1)["x"].tolist() == [2]
+    assert read_xlsx(path, "Gen_1")["x"].tolist() == [2]
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_xlsx(path, "Gen_9")
+
+
+def test_is_a_real_zip_package(tmp_path):
+    """The artifact must be an actual OOXML package (zip with the workbook
+    part), not a renamed CSV."""
+    path = str(tmp_path / "pkg.xlsx")
+    write_xlsx(path, pd.DataFrame({"a": [1]}))
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert "[Content_Types].xml" in names
+    assert "xl/workbook.xml" in names
+    assert "xl/worksheets/sheet1.xml" in names
+
+
+def _front(genomes, acc):
+    return pd.DataFrame(
+        [
+            {"Accuracy": acc, "Size_MB": 1.0, "FPR": 0.05,
+             **{k: g[k] for k in GENE_ORDER}}
+            for g in genomes
+        ]
+    )
+
+
+def test_final_xlsx_roundtrip_into_psi_init(tmp_path):
+    """The full reference handoff at the FORMAT level: stage-1 fronts merged
+    into a real Final.xlsx, which the stage-2 PSI loader consumes."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+    from cmoop_audio_processing_tpu.cli.psi_merge import main as merge_main
+
+    gs = all_genomes()[::40][:5]
+    a = tmp_path / "a.csv"
+    _front(gs, 0.92).to_csv(a, index=False)
+    out = tmp_path / "Final.xlsx"
+    assert merge_main([str(a), "--out", str(out)]) == 0
+    assert zipfile.is_zipfile(out)  # really a workbook, not a CSV fallback
+    pop = psi_init(str(out), Constraints(0.9, 2.5, 0.09))
+    assert len(pop) == 5
+    assert all(p["CV"] == 0 for p in pop)
+    assert [p["hparams"] for p in pop] == list(gs)
+    # bools decode as bools, not ints
+    assert all(isinstance(p["hparams"]["use_bn"], bool) for p in pop)
+
+
+def test_psi_merge_reads_xlsx_inputs(tmp_path):
+    from cmoop_audio_processing_tpu.cli.psi_merge import merge
+
+    gs = all_genomes()
+    a = tmp_path / "a.xlsx"
+    b = tmp_path / "b.csv"
+    write_xlsx(str(a), _front(gs[:3], 0.91))
+    _front(gs[5:7], 0.93).to_csv(b, index=False)
+    df = merge([str(a), str(b)])
+    assert len(df) == 5
+    assert df.iloc[0]["Accuracy"] == 0.91
+
+
+def test_psi_merge_skips_corrupt_xlsx(tmp_path, capsys):
+    from cmoop_audio_processing_tpu.cli.psi_merge import merge
+
+    gs = all_genomes()
+    good = tmp_path / "good.csv"
+    _front(gs[:2], 0.91).to_csv(good, index=False)
+    corrupt = tmp_path / "corrupt.xlsx"
+    corrupt.write_bytes(b"this is not a zip archive")
+    empty = tmp_path / "zero.xlsx"
+    empty.write_bytes(b"")
+    df = merge([str(corrupt), str(empty), str(good)])
+    assert len(df) == 2
+    err = capsys.readouterr().err
+    assert err.count("skipping") == 2
+
+
+def test_psi_init_missing_file_clean_exit(tmp_path, capsys):
+    """Reference behavior psi_mobo_2.py:365-369: a missing Final.xlsx prints
+    an error and yields empty results instead of raising."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+
+    missing = str(tmp_path / "Final.xlsx")
+    pop = psi_init(missing, Constraints(0.9, 2.5, 0.09))
+    assert pop == []
+    assert f"Error: The file '{missing}' was not found." in capsys.readouterr().err
+
+
+def test_nsga2_psi_missing_file_noop_run(tmp_path):
+    """Driver-level grace: the search returns an empty front cleanly."""
+    import dataclasses
+
+    from cmoop_audio_processing_tpu.algorithms.nsga2 import run_nsga2
+    from cmoop_audio_processing_tpu.core.config import get_preset
+    from cmoop_audio_processing_tpu.engine.evaluator import FakeEvaluator
+
+    cfg = get_preset("psi_init_sa_nsga").search
+    cfg = dataclasses.replace(
+        cfg, psi_seed_file=str(tmp_path / "nope.xlsx"), max_gen=2
+    )
+    pareto, gen_dfs = run_nsga2(cfg, FakeEvaluator())
+    assert pareto == [] and gen_dfs == []
+
+
+def test_mobo_psi_missing_file_noop_run(tmp_path):
+    import dataclasses
+
+    from cmoop_audio_processing_tpu.algorithms.mobo import run_mobo
+    from cmoop_audio_processing_tpu.core.config import get_preset
+    from cmoop_audio_processing_tpu.engine.evaluator import FakeEvaluator
+
+    cfg = get_preset("psi_mobo_2").mobo
+    cfg = dataclasses.replace(
+        cfg, psi_seed_file=str(tmp_path / "nope.xlsx"), max_iterations=2
+    )
+    pareto, gen_dfs = run_mobo(cfg, FakeEvaluator())
+    assert pareto == [] and gen_dfs == []
+
+
+def test_reporter_all_generations_writes_real_workbook(tmp_path):
+    from cmoop_audio_processing_tpu.utils.reporting import RunReporter
+
+    rep = RunReporter(str(tmp_path), "run")
+    rep.gen_dfs.append(pd.DataFrame({"Generation": [0], "Accuracy": [0.9]}))
+    rep.gen_dfs.append(pd.DataFrame({"Generation": [1], "Accuracy": [0.92]}))
+    path = rep.all_generations()
+    assert path.endswith("all_generations.xlsx") and zipfile.is_zipfile(path)
+    assert sheet_names(path) == ["Gen_0", "Gen_1"]
+    assert read_xlsx(path, "Gen_1")["Accuracy"].tolist() == [0.92]
+    # the combined CSV twin still exists for grep-ability
+    combined = pd.read_csv(str(tmp_path / "run" / "all_generations.csv"))
+    assert len(combined) == 2
