@@ -33,7 +33,18 @@ def genome_from_row(front_csv: str, row: int):
     if not (0 <= row < len(df)):
         raise SystemExit(f"--row {row} out of range: {front_csv} has {len(df)} rows")
     r = df.iloc[row]
-    as_bool = lambda v: str(v).strip().lower() in ("true", "1")  # noqa: E731
+
+    def as_bool(v):
+        # strict whitelist of BOTH spellings: a float-typed column (1.0/0.0)
+        # or an unrecognized cell must not silently train the wrong
+        # architecture
+        s = str(v).strip().lower()
+        if s in ("true", "1", "1.0"):
+            return True
+        if s in ("false", "0", "0.0"):
+            return False
+        raise SystemExit(f"unrecognized boolean cell {v!r} in {front_csv}")
+
     return {
         "filters": int(r["filters"]),
         "kernel_size": int(r["kernel_size"]),
@@ -102,7 +113,7 @@ def main(argv=None) -> int:
     if args.data_path:
         data_cfg = dataclasses.replace(data_cfg, path=args.data_path)
     train_cfg = cfg.train
-    if args.epochs:
+    if args.epochs is not None:
         train_cfg = dataclasses.replace(train_cfg, epochs=args.epochs)
 
     data = prepare_dataset(data_cfg)

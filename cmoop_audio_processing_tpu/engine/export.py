@@ -127,7 +127,9 @@ def save_model(
 
 
 def load_model(model_dir: str):
-    """Returns (genome, spec, params, state) ready for ``predict``."""
+    """Returns (genome, spec, params, state, meta); the first four feed
+    ``predict`` directly, ``meta`` is the saved meta.json dict (template,
+    metrics, seed, ...)."""
     with open(os.path.join(model_dir, "meta.json")) as f:
         meta = json.load(f)
     genome = meta["genome"]

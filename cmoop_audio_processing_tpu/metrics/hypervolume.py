@@ -28,6 +28,7 @@ import numpy as np
 
 _NATIVE: Optional[ctypes.CDLL] = None
 _NATIVE_TRIED = False
+_WFG_WARN_SIZE = 24  # WFG recursion is exponential in the front size
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
@@ -54,12 +55,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
 
 
 def _clip_to_ref(points: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """Drop points that do not strictly dominate the reference point in at
-    least... precisely: a point contributes iff p < r on all axes is NOT
-    required by pygmo — points are clipped: contribution of p is the box
-    [max(p,·), r]; points with any p_i >= r_i contribute nothing on that
-    configuration only if the box is empty. Clipping p to min(p, r) and
-    dropping boxes with zero volume reproduces pygmo's behavior."""
+    """Drop points outside the reference box. A point's dominated region is
+    the box [p, ref], which is empty whenever any p_i >= r_i, so such points
+    contribute zero volume and can be removed up front. (Clipping p to
+    min(p, ref) would be wrong — it would invent volume for points beyond the
+    box.) This matches pygmo: hypervolume is the measure of the union of
+    [p, ref] boxes over the front."""
     keep = np.all(points < ref, axis=1)
     return points[keep]
 
@@ -108,10 +109,23 @@ def _hv3d(points: np.ndarray, ref: np.ndarray) -> float:
 
 def _hv_wfg(points: np.ndarray, ref: np.ndarray) -> float:
     """Inclusion-exclusion style exact HV for d>=2 via the WFG recursion:
-    HV(S) = sum over i of exclusive contribution of p_i against S[i+1:]."""
+    HV(S) = sum over i of exclusive contribution of p_i against S[i+1:].
+
+    Exponential worst case — only used for d>=4, where this workload's
+    fronts are tiny. Fronts beyond ``_WFG_WARN_SIZE`` points get a runtime
+    warning rather than a silent hang."""
     pts = _clip_to_ref(points, ref)
     if len(pts) == 0:
         return 0.0
+    if len(pts) > _WFG_WARN_SIZE:
+        import warnings
+
+        warnings.warn(
+            f"WFG exact hypervolume on {len(pts)} points (d="
+            f"{pts.shape[1]}) is exponential-time; expect a long runtime",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # sort by first objective descending improves pruning
     order = np.argsort(-pts[:, 0], kind="stable")
     pts = pts[order]

@@ -71,6 +71,40 @@ def test_hv_monte_carlo_oracle(d):
     assert exact == pytest.approx(approx, rel=0.02)
 
 
+def test_hv3d_degenerate_fronts_fuzz_vs_mc():
+    """3-D fuzz over deliberately degenerate fronts — duplicates, collinear
+    points, axis-tied coordinates, points outside the box — at 1e-3 relative
+    vs a large Monte-Carlo oracle (and exactly vs the WFG recursion)."""
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n = int(rng.integers(2, 12))
+        pts = rng.random((n, 3))
+        # inject degeneracies
+        pts[rng.integers(n)] = pts[rng.integers(n)]  # duplicate
+        k = rng.integers(n)
+        pts[k, rng.integers(3)] = pts[rng.integers(n), rng.integers(3)]  # tie
+        a, b = pts[rng.integers(n)], pts[rng.integers(n)]
+        pts[rng.integers(n)] = (a + b) / 2  # collinear
+        if trial % 3 == 0:
+            pts[rng.integers(n)] += 1.5  # outside the reference box
+        # snap to a coarse grid so coordinate ties are common
+        pts = np.round(pts * 8) / 8
+        ref = np.ones(3) * 1.0625
+        exact = H.hypervolume(pts, ref)
+        assert exact == pytest.approx(
+            H._hv_wfg(pts, ref), rel=1e-12, abs=1e-15
+        )
+        approx = _mc_hv(pts, ref, n=400_000, seed=int(trial))
+        assert exact == pytest.approx(approx, rel=1e-3, abs=2e-3)
+
+
+def test_wfg_large_front_warns():
+    rng = np.random.default_rng(5)
+    pts = rng.random((H._WFG_WARN_SIZE + 2, 4)) * 0.5  # all inside the box
+    with pytest.warns(RuntimeWarning, match="exponential-time"):
+        H._hv_wfg(pts, np.ones(4))
+
+
 def test_hv3d_matches_wfg_recursion():
     rng = np.random.default_rng(3)
     for trial in range(10):
