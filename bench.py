@@ -71,12 +71,14 @@ def main() -> int:
         g for g in [all_genomes()[i * 13 % 288] for i in range(pop_size)]
     ]
 
-    # optional depth-bucketing experiment: BENCH_BUCKET_GENES=
-    # "filters,kernel_size,residual_blocks" splits launches by depth so every
-    # program is fully specialized (vs the default automatic per-launch
-    # max_blocks specialization over mixed-depth buckets)
+    # bucket-key experiment knob. The default (3-gene, depth in the key)
+    # fully specializes every program — measured +19% over 2-gene bucketing
+    # once the fused single-launch dispatch made extra buckets cheap
+    # (round-3 A/B: 9,778 -> 11,655 evals/h same-session).
     bucket_genes = tuple(
-        os.environ.get("BENCH_BUCKET_GENES", "filters,kernel_size").split(",")
+        os.environ.get(
+            "BENCH_BUCKET_GENES", "filters,kernel_size,residual_blocks"
+        ).split(",")
     )
 
     def make_eval(max_models):

@@ -72,7 +72,16 @@ class TrainConfig:
     dropout_rate: float = 0.3  # nsga_penalty.py:323
     # TPU engine knobs (no reference counterpart):
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay f32
-    bucket_genes: Tuple[str, ...] = ("filters", "kernel_size")
+    # Genes whose values select a compiled program (the rest become traced
+    # per-lane flags). Depth in the bucket key means every program is fully
+    # specialized to its genomes' residual depth — measured +19% generation
+    # throughput once the fused single-launch dispatch made extra buckets
+    # cheap (PERF.md round 3; it was wall-neutral back when each bucket cost
+    # a 3-4 launch chain). Drop back to ("filters", "kernel_size") to halve
+    # the cold-compile universe on fresh caches.
+    bucket_genes: Tuple[str, ...] = (
+        "filters", "kernel_size", "residual_blocks",
+    )
     max_models_per_program: int = 16  # pad bucket sub-populations to <= this
     parallel_impl: str = "grouped"  # "grouped" (one grouped-conv net) | "vmap"
     # Epochs between early-stop lane compactions. Compaction re-launches

@@ -33,9 +33,14 @@ def data():
 
 
 def _cfg(chunk):
+    # 2-gene bucketing on purpose: the mixed-depth GENOMES then share ONE
+    # multi-lane bucket, so the chunked path really compacts (4 -> 2 -> 1
+    # lanes); the depth-bucketed default would split them into single-lane
+    # buckets and leave nothing to compact
     return TrainConfig(
         epochs=12, batch_size=32, patience=2, num_classes=4,
         compute_dtype="float32", compaction_chunk=chunk,
+        bucket_genes=("filters", "kernel_size"),
     )
 
 
@@ -109,6 +114,7 @@ def test_adaptive_auto_matches_oneshot(data):
     cfg_auto = TrainConfig(
         epochs=18, batch_size=32, patience=2, num_classes=4,
         compute_dtype="float32", compaction_chunk=-1,
+        bucket_genes=("filters", "kernel_size"),
     )
     ev = PopulationEvaluator(data, cfg_auto)
     assert ev._effective_chunk(8) > 0  # policy engages for this run
@@ -117,6 +123,7 @@ def test_adaptive_auto_matches_oneshot(data):
         data, TrainConfig(
             epochs=18, batch_size=32, patience=2, num_classes=4,
             compute_dtype="float32", compaction_chunk=0,
+            bucket_genes=("filters", "kernel_size"),
         )
     ).evaluate(genomes, seed=3)
     np.testing.assert_allclose(

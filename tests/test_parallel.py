@@ -99,7 +99,9 @@ def test_population_evaluator_on_mesh():
     assert arr.shape == (8, 3)
     assert np.isfinite(arr).all()
     assert (arr[:, 1] > 0).all()  # sizes positive
-    assert ev.timings[-1]["launches"] == 1  # one fused shard_map launch
+    # one fused shard_map launch per (filters, kernel, depth) bucket
+    n_buckets = len({tuple(g[k] for k in cfg.bucket_genes) for g in genomes})
+    assert ev.timings[-1]["launches"] == n_buckets
 
 
 def test_grouped_mesh_matches_single_device_grouped():
