@@ -15,6 +15,11 @@ documented hot loop re-invoked through public Keras APIs.
 
     python examples/run_keras_ab.py [--out examples/keras_ab.json]
         [--epochs 30] [--seeds 3] [--genomes 8]
+        [--phase keras|ours|both] [--backend cpu|tpu]
+
+    # typical split (TF fits are CPU-hours; the engine is TPU-seconds):
+    python examples/run_keras_ab.py --phase keras          # CPU, resumable
+    python examples/run_keras_ab.py --phase ours --backend tpu
 
 The committed JSON is pinned by tests/test_keras_ab.py: per-genome accuracy
 agreement within a distributional band, and Spearman rank agreement of the
@@ -146,15 +151,29 @@ def main(argv=None) -> int:
     p.add_argument("--genomes", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--patience", type=int, default=5)
+    # Two-phase split: the Keras fits are hours of pure-CPU TF work, while
+    # the engine side is seconds per genome on TPU (but ~25 min per cold
+    # XLA:CPU compile). Running --phase keras (CPU, anywhere) then
+    # --phase ours --backend tpu (one TPU attach, short) keeps the chip free
+    # for other work during the TF hours and avoids the CPU compile wall.
+    p.add_argument("--phase", choices=["both", "keras", "ours"],
+                   default="both")
+    p.add_argument("--backend", choices=["cpu", "tpu"], default="cpu",
+                   help="backend for the engine side ('ours')")
+    p.add_argument("--partial", default="/tmp/keras_ab_keras.json",
+                   help="keras-phase results file (written by --phase keras, "
+                        "read by --phase ours); also the resume checkpoint")
     args = p.parse_args(argv)
 
-    # Force the CPU backend: Keras runs on CPU here, and the comparison is
-    # about TRAINING SEMANTICS (Adam/early-stop/restore-best/BN dynamics),
-    # not device numerics — TPU-vs-CPU f32 parity is pinned separately.
+    # Default: force the CPU backend — Keras runs on CPU here, and the
+    # comparison is about TRAINING SEMANTICS (Adam/early-stop/restore-best/
+    # BN dynamics), not device numerics — TPU-vs-CPU f32 parity is pinned
+    # separately. --backend tpu opts the engine side onto the chip.
     # (The env var is ignored by the axon plugin; the config update works.)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.backend == "cpu" or args.phase == "keras":
+        jax.config.update("jax_platforms", "cpu")
 
     from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
     from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
@@ -165,11 +184,58 @@ def main(argv=None) -> int:
     genomes = pick_genomes(args.genomes)
     seeds = list(range(args.seeds))
 
+    # --- phase 1: the reference's Keras evaluator (resumable checkpoint) ---
+    done = {}
+    if os.path.exists(args.partial):
+        with open(args.partial) as f:
+            for r in json.load(f):
+                done[(r["template"], r["gi"], r["seed"])] = r
+        print(f"resuming: {len(done)} keras fits already in {args.partial}",
+              flush=True)
+
+    if args.phase in ("both", "keras"):
+        for template in ("A", "B"):
+            build_model = extract_build_model(
+                template, data["x_train"].shape[1:3], 10
+            )
+            for gi, g in enumerate(genomes):
+                for seed in seeds:
+                    if (template, gi, seed) in done:
+                        continue
+                    k = keras_eval(
+                        build_model, g, data, args.epochs, args.batch_size,
+                        args.patience, seed,
+                    )
+                    done[(template, gi, seed)] = {
+                        "template": template, "gi": gi, "seed": seed,
+                        "genome": g, "keras": k,
+                    }
+                    tmp = args.partial + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(list(done.values()), f)
+                    os.replace(tmp, args.partial)
+                    print(
+                        f"[{template}] g{gi} seed{seed}: keras "
+                        f"acc={k['acc']:.4f} fpr={k['fpr']:.4f} "
+                        f"({k['seconds']}s, {k['epochs_ran']} ep)",
+                        flush=True,
+                    )
+        if args.phase == "keras":
+            print(f"keras phase complete: {len(done)} fits in {args.partial}")
+            return 0
+
+    # --- phase 2: this engine, same genomes/seeds ---
+    missing = [
+        (t, gi, s) for t in ("A", "B") for gi in range(len(genomes))
+        for s in seeds if (t, gi, s) not in done
+    ]
+    if missing:
+        raise SystemExit(
+            f"--phase ours: {len(missing)} keras fits missing from "
+            f"{args.partial} (run --phase keras first); first: {missing[0]}"
+        )
     results = []
     for template in ("A", "B"):
-        build_model = extract_build_model(
-            template, data["x_train"].shape[1:3], 10
-        )
         cfg = TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size,
             patience=args.patience, num_classes=10, template=template,
@@ -179,10 +245,7 @@ def main(argv=None) -> int:
         ev = PopulationEvaluator(data, cfg)
         for gi, g in enumerate(genomes):
             for seed in seeds:
-                k = keras_eval(
-                    build_model, g, data, args.epochs, args.batch_size,
-                    args.patience, seed,
-                )
+                k = done[(template, gi, seed)]["keras"]
                 t0 = time.perf_counter()
                 acc, size, fpr = ev.evaluate([g], seed=seed)[0]
                 ours = {
@@ -212,6 +275,7 @@ def main(argv=None) -> int:
         "epochs": args.epochs, "seeds": seeds,
         "batch_size": args.batch_size, "patience": args.patience,
         "n_genomes": len(genomes),
+        "ours_backend": jax.default_backend(),
         "results": results,
     }
     with open(args.out, "w") as f:
