@@ -74,6 +74,8 @@ SEED_REPORT_FILES = [
     REPORT,
     REPORT.replace(".json", "_seed11.json"),
     REPORT.replace(".json", "_seed23.json"),
+    REPORT.replace(".json", "_seed31.json"),
+    REPORT.replace(".json", "_seed41.json"),
 ]
 
 
