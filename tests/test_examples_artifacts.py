@@ -94,9 +94,10 @@ def test_paper_ordering_distributional_across_seeds():
     report's reference point is its own union-max), so the aggregate uses
     per-seed RATIOS vs plain SA-NSGA-II: mean ratio must favor every
     2-stage variant on both HV and IGD, and the strict per-seed ordering
-    must hold for a majority of seeds (one replica legitimately flips a
-    single HV pair — 2_stage_MOBO's front is small, so its HV is
-    high-variance while its IGD stays 2-4x better in every seed)."""
+    must hold for a majority of seeds. Committed set: strict in 3/5
+    (seeds 11 and 31 each flip a single 2_stage_MOBO HV pair — its front
+    is small, so its HV is high-variance, while its IGD stays well ahead
+    of plain SA-NSGA-II in every seed)."""
     reports = _seed_reports()
     for rep in reports:
         for metric in ("hypervolume", "gd", "igd", "spread"):
