@@ -20,6 +20,8 @@ reference-faithful analogue of a fake backend).
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 import time
 import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -254,10 +256,35 @@ class PopulationEvaluator:
         launches.sort(
             key=lambda t: self._effective_chunk(len(t[2])) > 0
         )
-        pending = [
-            (chunk_idx, spec, self._run_bucket(spec, padded, seed))
-            for chunk_idx, spec, padded in launches
-        ]
+        # CMOOP_SYNC_DISPATCH=1 materializes each launch before dispatching
+        # the next — a stability fallback for remote-TPU tunnels where many
+        # concurrently in-flight programs at large feature shapes can crash
+        # the worker (observed at BirdCLEF 501x40; KWS 44x13 never trips it).
+        # Costs the dispatch overlap; results are bitwise identical.
+        sync = os.environ.get("CMOOP_SYNC_DISPATCH", "0") == "1"
+        # CMOOP_LOG_LAUNCHES=1 prints every launch (spec + lanes) to stderr
+        # before dispatch and after materialization — the tool for isolating
+        # which program a remote worker died in.
+        log_launches = os.environ.get("CMOOP_LOG_LAUNCHES", "0") == "1"
+        pending = []
+        for n, (chunk_idx, spec, padded) in enumerate(launches):
+            if log_launches:
+                print(
+                    f"[launch {n+1}/{len(launches)}] f={spec.filters} "
+                    f"k={spec.kernel} blocks={spec.max_blocks} "
+                    f"pop={len(padded)} dispatch t+{time.perf_counter()-t0:.1f}s",
+                    file=sys.stderr, flush=True,
+                )
+            fits = self._run_bucket(spec, padded, seed)
+            if sync:
+                fits = jax.tree.map(np.asarray, fits)
+                if log_launches:
+                    print(
+                        f"[launch {n+1}/{len(launches)}] materialized "
+                        f"t+{time.perf_counter()-t0:.1f}s",
+                        file=sys.stderr, flush=True,
+                    )
+            pending.append((chunk_idx, spec, fits))
         chunk_records = []
         for chunk_idx, spec, fits in pending:
             fits = jax.tree.map(np.asarray, fits)  # blocks; all in flight
