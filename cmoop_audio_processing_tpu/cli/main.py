@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fake-eval", action="store_true",
                    help="use the deterministic closed-form evaluator (no training)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
+    p.add_argument("--parallel-impl", choices=["grouped", "vmap"],
+                   help="population forward implementation (results are "
+                        "bitwise identical; vmap is the fallback where "
+                        "grouped-conv codegen misbehaves at large shapes)")
     p.add_argument("--compaction-chunk", type=int,
                    help="epochs between early-stop lane compactions: -1 "
                         "adaptive (default), 0 always one-shot, N fixed")
@@ -79,6 +83,8 @@ def config_from_args(args) -> ExperimentConfig:
         train = dataclasses.replace(
             train, compaction_chunk=args.compaction_chunk
         )
+    if args.parallel_impl:
+        train = dataclasses.replace(train, parallel_impl=args.parallel_impl)
     search = cfg.search
     if args.seed is not None:
         search = dataclasses.replace(search, seed=args.seed)

@@ -92,6 +92,14 @@ class TrainConfig:
     # (every 2*patience epochs) only when its padded lane count is >= 8
     # and the epoch budget is long; 0 = always one-shot; N>0 = fixed chunk.
     compaction_chunk: int = -1
+    # Upper bound (seconds, FLOPs-estimated at a conservative sustained
+    # device rate) on any single one-shot training launch. Launches whose
+    # estimated duration exceeds it run chunked instead — same exact results
+    # (compaction == one-shot is test-pinned) in bounded slices. Motivated
+    # by remote-TPU workers that kill device programs running longer than
+    # ~1-2 min (observed at BirdCLEF 501x40 shapes with 300-epoch budgets;
+    # KWS-sized launches never come close). 0 disables the bound.
+    launch_seconds_budget: float = 20.0
 
 
 @dataclass(frozen=True)

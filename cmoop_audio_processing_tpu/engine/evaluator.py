@@ -98,6 +98,7 @@ class PopulationEvaluator:
             restore_best_weights=train_cfg.restore_best_weights,
             parallel_impl=impl,
             compaction_chunk=train_cfg.compaction_chunk,
+            launch_seconds_budget=train_cfg.launch_seconds_budget,
         )
         # pre-pad datasets once; device transfer happens lazily on first use
         xtr, ytr, wtr = pad_dataset(
@@ -254,7 +255,7 @@ class PopulationEvaluator:
                 )
                 launches.append((chunk_idx, spec, padded))
         launches.sort(
-            key=lambda t: self._effective_chunk(len(t[2])) > 0
+            key=lambda t: self._effective_chunk(len(t[2]), t[1]) > 0
         )
         # CMOOP_SYNC_DISPATCH=1 materializes each launch before dispatching
         # the next — a stability fallback for remote-TPU tunnels where many
@@ -301,7 +302,7 @@ class PopulationEvaluator:
                 "kernel": spec.kernel,
                 "max_blocks": spec.max_blocks,
                 "pop": pop,
-                "compacted": self._effective_chunk(pop) > 0,
+                "compacted": self._effective_chunk(pop, spec) > 0,
                 "epochs": [int(e) for e in fits["epochs"]],
             })
         self.timings.append(
@@ -319,21 +320,70 @@ class PopulationEvaluator:
         self._eval_count += len(genomes)
         return results  # type: ignore[return-value]
 
-    def _effective_chunk(self, pop: int) -> int:
+    # Conservative sustained device rate for launch-duration estimates
+    # (measured ~35-40 TFLOP/s on BirdCLEF-sized training programs, ~25-32
+    # on the KWS bench; underestimating the rate only chunks earlier).
+    _SUSTAINED_FLOPS_PER_S = 20e12
+
+    def _est_epoch_seconds(self, pop: int, spec: BucketSpec) -> float:
+        """FLOPs-based estimate of one lockstep epoch's device seconds for a
+        `pop`-lane launch of `spec` (executed work = the spec's MAX config,
+        same accounting as bench.py's MFU)."""
+        from ..models.genome_arch import count_fwd_flops
+
+        gmax = {
+            "filters": spec.filters, "kernel_size": spec.kernel,
+            "use_bn": True, "residual_blocks": spec.max_blocks,
+            "fc_layers": 4, "use_dropout": False,
+        }
+        hw = tuple(int(d) for d in self._train[0].shape[1:3])
+        fwd = count_fwd_flops(gmax, hw, self.cfg.num_classes,
+                              self.cfg.template)
+        n_train_pad = int(self._train[0].shape[0])
+        n_val_pad = int(self._val[0].shape[0])
+        return (
+            pop * fwd * (3 * n_train_pad + n_val_pad)
+            / self._SUSTAINED_FLOPS_PER_S
+        )
+
+    def _effective_chunk(self, pop: int, spec: BucketSpec) -> int:
         """Resolve TrainConfig.compaction_chunk for a bucket of `pop` padded
-        lanes. -1 = adaptive policy from the PERF.md measurements: chunking
-        pays only when enough lanes can actually be dropped (pop >= 8) and
-        the epoch budget dwarfs the chunk quantum; 2*patience between
-        compactions lets stopping decisions stabilize. A device mesh forces
-        one-shot regardless (compaction would fight the pop-axis sharding)."""
+        lanes. -1 = adaptive policy from the PERF.md measurements, two
+        independent terms (smallest wins when both engage):
+
+        * lane compaction — pays only when enough lanes can actually be
+          dropped (pop >= 8) and the epoch budget dwarfs the chunk quantum;
+          2*patience between compactions lets stopping decisions stabilize;
+        * launch-duration bound — a one-shot launch whose estimated device
+          time exceeds ``launch_seconds_budget`` runs in bounded chunks
+          instead (remote workers kill device programs running longer than
+          ~1-2 min; results are exactly one-shot-equal by the pinned
+          compaction invariant).
+
+        A device mesh forces one-shot regardless (compaction would fight the
+        pop-axis sharding). An explicit non-negative compaction_chunk is
+        honored verbatim (including 0 = always one-shot, which also disables
+        the duration bound)."""
         if self.mesh is not None:
             return 0
         chunk = self.settings.compaction_chunk
         if chunk >= 0:
             return chunk
-        if pop < 8 or self.settings.epochs < 8 * max(self.settings.patience, 1):
-            return 0
-        return max(2 * self.settings.patience, 10)
+        lane_chunk = 0
+        if (
+            pop >= 8
+            and self.settings.epochs >= 8 * max(self.settings.patience, 1)
+        ):
+            lane_chunk = max(2 * self.settings.patience, 10)
+        dur_chunk = 0
+        budget = self.settings.launch_seconds_budget
+        if budget and budget > 0:
+            est = self._est_epoch_seconds(pop, spec)
+            if est * self.settings.epochs > budget:
+                dur_chunk = max(int(budget / est), 1)
+        if lane_chunk and dur_chunk:
+            return min(lane_chunk, dur_chunk)
+        return lane_chunk or dur_chunk
 
     def _init_bucket_population(
         self, spec: BucketSpec, padded: List[Genome], seed: int
@@ -402,7 +452,7 @@ class PopulationEvaluator:
         xval, yval, wval = self._val
         acc_key = "acc_eval" if self.cfg.accuracy_from == "best" else "acc_last"
 
-        chunk = self._effective_chunk(pop)
+        chunk = self._effective_chunk(pop, spec)
         if chunk <= 0:
             # One-shot (a mesh also forces this — see _effective_chunk).
             # The epoch cap is passed as a call-site ARGUMENT so one compiled

@@ -72,6 +72,10 @@ class TrainSettings:
     # reference's pop-per-bucket sizes (<=4) the savings cancel against
     # per-chunk sync overhead; enable for big buckets / long budgets.
     compaction_chunk: int = 0
+    # Estimated-seconds cap per one-shot launch; over-budget buckets run
+    # chunked (exact same results). 0 disables. See TrainConfig for the
+    # remote-worker motivation.
+    launch_seconds_budget: float = 20.0
 
 
 def pad_dataset(x: np.ndarray, y: np.ndarray, batch_size: int):

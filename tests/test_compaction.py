@@ -92,19 +92,52 @@ def test_adaptive_chunk_policy(data):
 
     long_cfg = TrainConfig(num_classes=4, compute_dtype="float32")  # 300 ep
     ev = PopulationEvaluator(data, long_cfg)
-    assert ev._effective_chunk(4) == 0
-    assert ev._effective_chunk(8) == 10  # 2*patience(5)
-    assert ev._effective_chunk(16) == 10
+    spec = ev._bucket_spec(16, 3, 3)
+    assert ev._effective_chunk(4, spec) == 0
+    assert ev._effective_chunk(8, spec) == 10  # 2*patience(5)
+    assert ev._effective_chunk(16, spec) == 10
     short = PopulationEvaluator(data, dataclasses.replace(long_cfg, epochs=30))
-    assert short._effective_chunk(16) == 0
+    assert short._effective_chunk(16, spec) == 0
     fixed = PopulationEvaluator(
         data, dataclasses.replace(long_cfg, compaction_chunk=3)
     )
-    assert fixed._effective_chunk(16) == 3
+    assert fixed._effective_chunk(16, spec) == 3
     off = PopulationEvaluator(
         data, dataclasses.replace(long_cfg, compaction_chunk=0)
     )
-    assert off._effective_chunk(16) == 0
+    assert off._effective_chunk(16, spec) == 0
+
+
+def test_launch_duration_bound(data):
+    """The adaptive policy also chunks any bucket whose estimated one-shot
+    launch time exceeds launch_seconds_budget — even below the 8-lane
+    compaction gate (remote workers kill long device programs; the chunked
+    path is exactly one-shot-equal, so bounding duration is free)."""
+    import dataclasses
+
+    big = prepare_dataset(
+        DataConfig(synthetic_train=96, synthetic_eval=48, time_steps=501,
+                   features=40, num_classes=11)
+    )
+    cfg = TrainConfig(num_classes=11, template="B")  # 300-epoch default
+    ev = PopulationEvaluator(big, cfg)
+    heavy = ev._bucket_spec(64, 5, 1)
+    chunk = ev._effective_chunk(2, heavy)
+    assert 0 < chunk < cfg.epochs  # bounded launches for the heavy bucket
+    # per-chunk estimated seconds stay within the budget
+    assert ev._est_epoch_seconds(2, heavy) * chunk <= cfg.launch_seconds_budget
+    # the bound scales: more lanes -> shorter chunks
+    assert ev._effective_chunk(8, heavy) <= chunk
+    # budget 0 disables the duration term entirely
+    off = PopulationEvaluator(
+        big, dataclasses.replace(cfg, launch_seconds_budget=0.0)
+    )
+    assert off._effective_chunk(2, heavy) == 0
+    # KWS-sized launches at the bench budget never engage it
+    kws = PopulationEvaluator(
+        data, TrainConfig(num_classes=4, epochs=25, compute_dtype="float32")
+    )
+    assert kws._effective_chunk(4, kws._bucket_spec(16, 3, 3)) == 0
 
 
 def test_adaptive_auto_matches_oneshot(data):
@@ -117,7 +150,8 @@ def test_adaptive_auto_matches_oneshot(data):
         bucket_genes=("filters", "kernel_size"),
     )
     ev = PopulationEvaluator(data, cfg_auto)
-    assert ev._effective_chunk(8) > 0  # policy engages for this run
+    # policy engages for this run
+    assert ev._effective_chunk(8, ev._bucket_spec(16, 3, 3)) > 0
     fits_auto = ev.evaluate(genomes, seed=3)
     fits_oneshot = PopulationEvaluator(
         data, TrainConfig(
