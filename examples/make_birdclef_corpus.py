@@ -81,14 +81,14 @@ def make_clip(ci, rng):
     n = int(DUR * SR)
     # audible noise floor: the old corpus (-2.2..-1.6) was clean enough that
     # val_loss improved monotonically for hundreds of epochs
-    y = rng.standard_normal(n) * 10 ** (rng.uniform(-1.5, -0.9))
-    add_song(y, ci, rng, amp_lo=-1.1, amp_hi=-0.2, start_frac=0.4)
-    if rng.uniform() < 0.35:  # overlapping song from another species
+    y = rng.standard_normal(n) * 10 ** (rng.uniform(-1.35, -0.8))
+    add_song(y, ci, rng, amp_lo=-1.15, amp_hi=-0.2, start_frac=0.4)
+    if rng.uniform() < 0.45:  # overlapping song from another species
         other = int(rng.integers(0, len(GRAMMAR) - 1))
         if other >= ci:
             other += 1
-        add_song(y, other, rng, amp_lo=-1.2, amp_hi=-0.45, start_frac=0.8,
-                 max_syllables=int(rng.integers(1, 4)))
+        add_song(y, other, rng, amp_lo=-1.1, amp_hi=-0.3, start_frac=0.8,
+                 max_syllables=int(rng.integers(2, 5)))
     peak = np.abs(y).max()
     return (y / peak * 0.8).astype(np.float32)
 
