@@ -75,7 +75,7 @@ def config_from_args(args) -> ExperimentConfig:
     if args.data_path:
         data = dataclasses.replace(data, path=args.data_path)
     train = cfg.train
-    if args.epochs:
+    if args.epochs is not None:
         train = dataclasses.replace(train, epochs=args.epochs)
     if args.compute_dtype:
         train = dataclasses.replace(train, compute_dtype=args.compute_dtype)
