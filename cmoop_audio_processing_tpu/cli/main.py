@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--psi-seed-file", help="stage-1 Pareto file for PSI presets")
     p.add_argument("--resume", action="store_true",
                    help="resume from the run's checkpoint if present")
+    p.add_argument("--fitness-cache", metavar="PATH",
+                   help="durable (genome, seed) -> fitness JSONL: finished "
+                        "trainings survive a mid-generation crash and are "
+                        "replayed on resume (exact — evaluations are "
+                        "idempotent). --resume defaults this to "
+                        "<out>/<preset>/fitness_cache.jsonl; pass 'off' to "
+                        "disable")
     p.add_argument("--fake-eval", action="store_true",
                    help="use the deterministic closed-form evaluator (no training)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
@@ -108,7 +115,8 @@ def config_from_args(args) -> ExperimentConfig:
 
 
 def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
-                   mesh_data: int = 1):
+                   mesh_data: int = 1,
+                   fitness_cache_path: Optional[str] = None):
     if fake:
         from ..engine.evaluator import FakeEvaluator
 
@@ -124,7 +132,9 @@ def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
         from ..parallel.mesh import population_mesh
 
         mesh = population_mesh(mesh_devices, mesh_data)
-    return PopulationEvaluator(data, cfg.train, mesh=mesh)
+    return PopulationEvaluator(
+        data, cfg.train, mesh=mesh, fitness_cache_path=fitness_cache_path
+    )
 
 
 def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
@@ -162,7 +172,20 @@ def main(argv: Optional[list] = None, preset: Optional[str] = None) -> int:
             "--mesh-data requires --mesh (total devices = mesh * mesh_data)"
         )
     cfg = config_from_args(args)
-    evaluator = make_evaluator(cfg, args.fake_eval, args.mesh, args.mesh_data)
+    # --resume implies the durable fitness cache (a crashed generation's
+    # finished trainings replay instead of re-running); explicit path wins,
+    # 'off' disables
+    cache_path = args.fitness_cache
+    if cache_path is None and args.resume and not args.fake_eval:
+        cache_path = os.path.join(
+            cfg.output_dir, cfg.name, "fitness_cache.jsonl"
+        )
+    if cache_path == "off":
+        cache_path = None
+    evaluator = make_evaluator(
+        cfg, args.fake_eval, args.mesh, args.mesh_data,
+        fitness_cache_path=cache_path,
+    )
     pareto, _ = run(cfg, evaluator, resume=args.resume)
     print(f"\nFinal Pareto-optimal feasible solutions ({len(pareto)}):")
     for sol in pareto:

@@ -60,6 +60,7 @@ class PopulationEvaluator:
         data: Dict[str, np.ndarray],
         train_cfg: TrainConfig,
         mesh: Optional["jax.sharding.Mesh"] = None,
+        fitness_cache_path: Optional[str] = None,
     ):
         from ..utils.compile_cache import enable_persistent_cache
 
@@ -129,6 +130,22 @@ class PopulationEvaluator:
             place = jnp.asarray
         self._train = (place(xtr), place(ytr), place(wtr))
         self._val = (place(xval), place(yval), place(wval))
+        # Optional durable (genome, seed) -> fitness cache: completed
+        # trainings survive a mid-generation crash and are replayed on
+        # resume — sound because evaluations are idempotent (see
+        # utils/fitness_cache.py). Fingerprinted against the RAW (pre-
+        # padding) splits + every result-affecting config field.
+        self.fitness_cache = None
+        if fitness_cache_path:
+            from ..utils.fitness_cache import (
+                FitnessCache,
+                evaluator_fingerprint,
+            )
+
+            self.fitness_cache = FitnessCache(
+                fitness_cache_path,
+                evaluator_fingerprint(train_cfg, data, n_data),
+            )
         self._compiled: Dict[tuple, "jax.stages.Wrapped"] = {}
         self._eval_count = 0
         self._launch_count = 0  # device-program dispatches this evaluate()
@@ -209,13 +226,24 @@ class PopulationEvaluator:
         self._launch_count = 0
         for g in genomes:
             validate(g)  # out-of-space genomes would silently mis-bucket
+        results: List[Optional[Fitness]] = [None] * len(genomes)
+        # replay finished trainings from the durable cache (crash-resume);
+        # idempotence makes the replay behaviorally invisible
+        cached: set = set()
+        if self.fitness_cache is not None:
+            for i, g in enumerate(genomes):
+                hit = self.fitness_cache.get(g, seed)
+                if hit is not None:
+                    results[i] = hit
+                    cached.add(i)
+
         bucket_genes = self.cfg.bucket_genes
         buckets: Dict[tuple, List[int]] = {}
         for i, g in enumerate(genomes):
+            if i in cached:
+                continue
             key = tuple(g[b] for b in bucket_genes)
             buckets.setdefault(key, []).append(i)
-
-        results: List[Optional[Fitness]] = [None] * len(genomes)
         # Two-pass async dispatch: every bucket's FUSED program (population
         # init + train while_loop + final metrics in one launch,
         # trainer.run_full) is dispatched before any result is materialized,
@@ -305,6 +333,12 @@ class PopulationEvaluator:
                 "compacted": self._effective_chunk(pop, spec) > 0,
                 "epochs": [int(e) for e in fits["epochs"]],
             })
+        if self.fitness_cache is not None:
+            self.fitness_cache.put_many([
+                (genomes[i], seed, results[i])
+                for i in range(len(genomes))
+                if i not in cached
+            ])
         self.timings.append(
             {
                 "n_genomes": len(genomes),
@@ -312,12 +346,14 @@ class PopulationEvaluator:
                 # major device-program dispatches (fused one-shot bucket = 1)
                 "launches": self._launch_count,
                 "seconds": time.perf_counter() - t0,
+                "cache_hits": len(cached),
                 # per-chunk execution shape for FLOPs/MFU accounting:
                 # lockstep bills every (padded) lane until the slowest stops
                 "chunks": chunk_records,
             }
         )
-        self._eval_count += len(genomes)
+        # trainings actually performed (cache replays are not true evals)
+        self._eval_count += len(genomes) - len(cached)
         return results  # type: ignore[return-value]
 
     # Conservative sustained device rate for launch-duration estimates

@@ -29,11 +29,24 @@ def _host_cpu_fingerprint() -> str:
     numerics or SIGILL. Keying the CPU cache by the feature set makes stale
     cross-host entries unreachable instead of silently wrong."""
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip()
+                # flags alone are not enough: XLA's AOT entries also embed
+                # LLVM tuning pseudo-features (+prefer-no-gather, ...) chosen
+                # from the cpuid family/model, so two hosts with identical
+                # flags lines can still mismatch ("machine type mismatch"
+                # load warnings). Key on the full CPU identity.
+                if key in ("flags", "model name", "cpu family", "model",
+                           "stepping"):
+                    parts.append(
+                        f"{key}={' '.join(sorted(line.split(':', 1)[1].split()))}"
+                    )
+                if key == "processor" and parts:
+                    break  # first core's block is enough
+        if parts:
+            return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

@@ -1,0 +1,157 @@
+"""Durable fitness cache: mid-generation crash recovery (utils/
+fitness_cache.py). Soundness rests on the pinned idempotence invariant
+(same genome + seed -> same fitness regardless of composition); these
+tests pin the cache machinery itself: exact replay, partial-population
+mixes, fingerprint safety, and crash-truncated files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+from cmoop_audio_processing_tpu.core.genome import all_genomes
+from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+from cmoop_audio_processing_tpu.utils.fitness_cache import (
+    FitnessCache,
+    evaluator_fingerprint,
+)
+
+CFG = TrainConfig(
+    epochs=3, batch_size=32, patience=2, num_classes=4,
+    compute_dtype="float32",
+)
+
+
+def small_data():
+    return prepare_dataset(DataConfig(
+        synthetic_train=64, synthetic_eval=32, time_steps=12, features=8,
+        num_classes=4,
+    ))
+
+
+GENOMES = [g for g in all_genomes() if g["filters"] == 16][:6]
+
+
+def test_cache_roundtrip_and_truncation(tmp_path):
+    data = small_data()
+    fp = evaluator_fingerprint(CFG, data)
+    path = str(tmp_path / "cache.jsonl")
+    c = FitnessCache(path, fp)
+    assert len(c) == 0
+    c.put_many([(GENOMES[0], 0, (0.5, 1.0, 0.1)),
+                (GENOMES[1], 0, (0.6, 2.0, 0.2))])
+    # reload sees both; a crash-truncated final line is skipped
+    with open(path, "a") as f:
+        f.write('{"g": [16, 3, true')  # no newline: torn append
+    c2 = FitnessCache(path, fp)
+    assert len(c2) == 2
+    assert c2.get(GENOMES[0], 0) == (0.5, 1.0, 0.1)
+    assert c2.get(GENOMES[1], 0) == (0.6, 2.0, 0.2)
+    assert c2.get(GENOMES[0], 1) is None  # seed is part of the key
+    assert c2.get(GENOMES[2], 0) is None
+
+
+def test_cache_rejects_foreign_fingerprint(tmp_path):
+    data = small_data()
+    path = str(tmp_path / "cache.jsonl")
+    FitnessCache(path, evaluator_fingerprint(CFG, data))
+    other = evaluator_fingerprint(
+        TrainConfig(epochs=5, batch_size=32, patience=2, num_classes=4),
+        data,
+    )
+    with pytest.raises(ValueError, match="different training config"):
+        FitnessCache(path, other)
+    # dataset content changes are also fatal
+    data2 = dict(data)
+    data2["x_train"] = data2["x_train"] + 1e-3
+    with pytest.raises(ValueError, match="different training config"):
+        FitnessCache(path, evaluator_fingerprint(CFG, data2))
+
+
+def test_evaluator_replays_cached_fitness_exactly(tmp_path):
+    """A second evaluator process over the same cache re-launches NOTHING
+    and returns bitwise-identical fitness; a partial population trains only
+    the missing genomes and matches an uncached evaluation exactly."""
+    data = small_data()
+    path = str(tmp_path / "fits.jsonl")
+
+    ev_plain = PopulationEvaluator(data, CFG)
+    ref = np.asarray(ev_plain.evaluate(GENOMES, seed=7))
+
+    ev1 = PopulationEvaluator(data, CFG, fitness_cache_path=path)
+    first = np.asarray(ev1.evaluate(GENOMES[:4], seed=7))
+    np.testing.assert_array_equal(first, ref[:4])
+    assert ev1.timings[-1]["cache_hits"] == 0
+    assert ev1.total_true_evals == 4
+
+    # "crash + resume": a fresh evaluator (fresh jit caches) over the same
+    # cache file, now with the full population — only the 2 new genomes train
+    ev2 = PopulationEvaluator(data, CFG, fitness_cache_path=path)
+    out = np.asarray(ev2.evaluate(GENOMES, seed=7))
+    np.testing.assert_array_equal(out, ref)
+    assert ev2.timings[-1]["cache_hits"] == 4
+    assert ev2.total_true_evals == 2
+
+    # full replay: zero launches
+    ev3 = PopulationEvaluator(data, CFG, fitness_cache_path=path)
+    out3 = np.asarray(ev3.evaluate(GENOMES, seed=7))
+    np.testing.assert_array_equal(out3, ref)
+    assert ev3.timings[-1]["cache_hits"] == 6
+    assert ev3.timings[-1]["launches"] == 0
+    assert ev3.total_true_evals == 0
+
+    # a different seed is a different training — nothing replays
+    ev4 = PopulationEvaluator(data, CFG, fitness_cache_path=path)
+    ev4.evaluate(GENOMES[:1], seed=8)
+    assert ev4.timings[-1]["cache_hits"] == 0
+
+
+def test_cli_resume_uses_cache(tmp_path, monkeypatch):
+    """--resume wires the default cache path; the resumed run's evaluator
+    replays finished trainings."""
+    import dataclasses
+
+    from cmoop_audio_processing_tpu.cli.main import main
+    from cmoop_audio_processing_tpu.core.config import PRESETS, get_preset
+
+    base = get_preset("nsga_penalty")
+    tiny = base.replace(
+        data=dataclasses.replace(
+            base.data, synthetic_train=64, synthetic_eval=32,
+            time_steps=12, features=8, num_classes=4,
+        ),
+        train=dataclasses.replace(
+            base.train, epochs=2, batch_size=32, patience=2, num_classes=4,
+            compute_dtype="float32",
+        ),
+    )
+    monkeypatch.setitem(PRESETS, "nsga_penalty", tiny)
+
+    out = str(tmp_path / "run")
+    args = [
+        "--preset", "nsga_penalty", "--out", out, "--seed", "3",
+        "--pop-size", "4", "--max-gen", "2", "--resume",
+    ]
+    assert main(args) == 0
+    cache = os.path.join(out, "nsga_penalty", "fitness_cache.jsonl")
+    assert os.path.exists(cache)
+    with open(cache) as f:
+        lines = [json.loads(x) for x in f.read().splitlines() if x]
+    assert "fingerprint" in lines[0]
+    assert len(lines) > 1  # trainings recorded
+    # a second --resume pass opens the same cache (fingerprint accepted)
+    # and completes as a no-op continuation
+    assert main(args) == 0
+    # --fitness-cache off disables wiring even under --resume
+    out2 = str(tmp_path / "run2")
+    assert main([
+        "--preset", "nsga_penalty", "--out", out2, "--seed", "3",
+        "--pop-size", "4", "--max-gen", "1", "--resume",
+        "--fitness-cache", "off",
+    ]) == 0
+    assert not os.path.exists(
+        os.path.join(out2, "nsga_penalty", "fitness_cache.jsonl")
+    )
