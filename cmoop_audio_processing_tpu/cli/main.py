@@ -53,9 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="durable (genome, seed) -> fitness JSONL: finished "
                         "trainings survive a mid-generation crash and are "
                         "replayed on resume (exact — evaluations are "
-                        "idempotent). --resume defaults this to "
-                        "<out>/<preset>/fitness_cache.jsonl; pass 'off' to "
-                        "disable")
+                        "idempotent). Defaults to <out>/<preset>/"
+                        "fitness_cache.jsonl for every real run (a fresh "
+                        "run truncates it, --resume replays it); pass "
+                        "'off' to disable")
     p.add_argument("--fake-eval", action="store_true",
                    help="use the deterministic closed-form evaluator (no training)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"])
@@ -172,16 +173,21 @@ def main(argv: Optional[list] = None, preset: Optional[str] = None) -> int:
             "--mesh-data requires --mesh (total devices = mesh * mesh_data)"
         )
     cfg = config_from_args(args)
-    # --resume implies the durable fitness cache (a crashed generation's
-    # finished trainings replay instead of re-running); explicit path wins,
-    # 'off' disables
+    # The durable fitness cache is on for every real (non-fake) run, so a
+    # first run that crashes mid-generation already has its finished
+    # trainings on disk for --resume to replay. A fresh (non-resume) run
+    # means "start over": any existing cache is truncated; --resume opens
+    # it (and refuses a fingerprint mismatch). Explicit path wins, 'off'
+    # disables.
     cache_path = args.fitness_cache
-    if cache_path is None and args.resume and not args.fake_eval:
+    if cache_path is None and not args.fake_eval:
         cache_path = os.path.join(
             cfg.output_dir, cfg.name, "fitness_cache.jsonl"
         )
     if cache_path == "off":
         cache_path = None
+    if cache_path and not args.resume and os.path.exists(cache_path):
+        os.remove(cache_path)
     evaluator = make_evaluator(
         cfg, args.fake_eval, args.mesh, args.mesh_data,
         fitness_cache_path=cache_path,

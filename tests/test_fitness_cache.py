@@ -110,8 +110,9 @@ def test_evaluator_replays_cached_fitness_exactly(tmp_path):
 
 
 def test_cli_resume_uses_cache(tmp_path, monkeypatch):
-    """--resume wires the default cache path; the resumed run's evaluator
-    replays finished trainings."""
+    """The cache is on by default for every real run (so a first run that
+    crashes already has its finished trainings on disk); a fresh run
+    truncates a stale cache, --resume opens and replays it."""
     import dataclasses
 
     from cmoop_audio_processing_tpu.cli.main import main
@@ -135,8 +136,18 @@ def test_cli_resume_uses_cache(tmp_path, monkeypatch):
         "--preset", "nsga_penalty", "--out", out, "--seed", "3",
         "--pop-size", "4", "--max-gen", "2", "--resume",
     ]
-    assert main(args) == 0
+    # default-on even WITHOUT --resume: a stale cache under a different
+    # fingerprint is truncated (not an error) and the run records into it
     cache = os.path.join(out, "nsga_penalty", "fitness_cache.jsonl")
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "w") as f:
+        f.write('{"fingerprint": {"format": 0, "stale": true}}\n')
+    assert main(args[:-1]) == 0  # no --resume
+    with open(cache) as f:
+        lines = [json.loads(x) for x in f.read().splitlines() if x]
+    assert lines[0]["fingerprint"].get("format") == 1  # truncated + rewritten
+    assert len(lines) > 1
+    assert main(args) == 0
     assert os.path.exists(cache)
     with open(cache) as f:
         lines = [json.loads(x) for x in f.read().splitlines() if x]
