@@ -322,6 +322,12 @@ class PopulationEvaluator:
                 acc, fpr = fits["acc"][j], fits["fpr"][j]
                 size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
                 results[gi] = (float(acc), float(size), float(fpr))
+            if self.fitness_cache is not None:
+                # durable per bucket, not per generation: a crash while later
+                # buckets are still materializing loses only those buckets
+                self.fitness_cache.put_many(
+                    [(genomes[gi], seed, results[gi]) for gi in chunk_idx]
+                )
             pop = int(np.shape(fits["acc"])[0])
             # the record mirrors the LAUNCHED program exactly: specialized
             # depth from its spec, compaction from the effective policy
@@ -333,12 +339,6 @@ class PopulationEvaluator:
                 "compacted": self._effective_chunk(pop, spec) > 0,
                 "epochs": [int(e) for e in fits["epochs"]],
             })
-        if self.fitness_cache is not None:
-            self.fitness_cache.put_many([
-                (genomes[i], seed, results[i])
-                for i in range(len(genomes))
-                if i not in cached
-            ])
         self.timings.append(
             {
                 "n_genomes": len(genomes),

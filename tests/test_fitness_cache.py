@@ -109,6 +109,34 @@ def test_evaluator_replays_cached_fitness_exactly(tmp_path):
     assert ev4.timings[-1]["cache_hits"] == 0
 
 
+def test_cache_written_per_bucket_not_per_generation(tmp_path, monkeypatch):
+    """Durability granularity: each bucket's trainings hit the cache as the
+    bucket materializes, so a crash mid-generation loses only the buckets
+    still in flight — not the whole generation."""
+    from cmoop_audio_processing_tpu.utils import fitness_cache as fc_mod
+
+    data = small_data()
+    path = str(tmp_path / "fits.jsonl")
+    calls = []
+    orig = fc_mod.FitnessCache.put_many
+
+    def spy(self, entries):
+        calls.append(len(list(entries)))
+        return orig(self, entries)
+
+    monkeypatch.setattr(fc_mod.FitnessCache, "put_many", spy)
+    ev = PopulationEvaluator(data, CFG, fitness_cache_path=path)
+    # two distinct (filters, kernel) buckets -> two launches -> two appends
+    by_kernel = {}
+    for g in all_genomes():
+        if g["filters"] == 16 and g["residual_blocks"] == 1:
+            by_kernel.setdefault(g["kernel_size"], g)
+    gs = list(by_kernel.values())
+    assert len({(g["filters"], g["kernel_size"]) for g in gs}) == 2
+    ev.evaluate(gs, seed=0)
+    assert len(calls) == 2 and all(c == 1 for c in calls), calls
+
+
 def test_cli_resume_uses_cache(tmp_path, monkeypatch):
     """The cache is on by default for every real run (so a first run that
     crashes already has its finished trainings on disk); a fresh run
