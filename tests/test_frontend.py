@@ -191,3 +191,30 @@ def test_pallas_mfcc_matches_xla_path():
     # dB-scale values span hundreds; observed rel diff ~6e-4 (f32 matmul
     # reassociation between the fused and XLA paths)
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=1e-3)
+
+
+def test_pallas_flattened_tiles_at_birdclef_shape():
+    """5-s clips (80k samples -> 501 frames): batch*time = 1503 rows is NOT
+    a multiple of the 128-row flattened tile, so the padded tail frames and
+    the row->(B,T) reshape are both exercised; each sample's features must
+    match the per-sample XLA path exactly (the dB epilogue's per-sample max
+    is the easiest thing to get wrong when samples share tiles)."""
+    from cmoop_audio_processing_tpu.frontend.pallas_kernels import (
+        log_mel_fused, mfcc_fused,
+    )
+
+    rng = np.random.default_rng(3)
+    ys = np.stack([
+        tone(700, dur=5.0) + rng.standard_normal(80000).astype(np.float32) * 0.05,
+        tone(2100, dur=5.0) * 0.2,
+        rng.standard_normal(80000).astype(np.float32),
+    ])
+    assert ys.shape == (3, 80000)
+    got = np.asarray(mfcc_fused(ys, CFG))
+    want = np.asarray(mfcc(ys, CFG))
+    assert got.shape == want.shape == (3, 501, 13)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=1e-3)
+    cfg_db = FrontendConfig(log="db", top_db=80.0)
+    gl = np.asarray(log_mel_fused(ys, cfg_db))
+    wl = np.asarray(log_mel(ys, cfg_db))
+    np.testing.assert_allclose(gl, wl, atol=3e-2, rtol=1e-3)
