@@ -43,7 +43,27 @@ import numpy as np
 
 
 def main() -> int:
+    import threading
+
     import jax
+
+    # Hard wall limit: a downed remote-TPU worker makes device init (or any
+    # launch) hang forever, which would wedge whatever harness runs the
+    # bench. Exit loudly instead — no JSON line is better than a hang or a
+    # fabricated number. (Observed 2026-08-18: multi-hour axon outage.)
+    wall_limit = float(os.environ.get("BENCH_WALL_LIMIT", "2400"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(wall_limit):
+            print(
+                f"bench: no result within BENCH_WALL_LIMIT={wall_limit:.0f}s "
+                "— remote TPU worker likely unreachable; aborting",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
     from cmoop_audio_processing_tpu.core.genome import all_genomes
@@ -252,6 +272,7 @@ def main() -> int:
         file=sys.stderr,
     )
     print(json.dumps(result))
+    done.set()
     return 0
 
 
