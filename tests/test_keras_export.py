@@ -67,6 +67,36 @@ def test_transplant_parity_with_our_forward(data, template, genome):
     tf.keras.backend.clear_session()
 
 
+def test_transplant_parity_at_birdclef_shape():
+    """Forward parity at the reference's second shape point: 5-s clips ->
+    501x40 mel maps, 11 classes, template B (sa_nsga_penalty.py:38-102).
+    The pooling cascade through the residual stack differs entirely from
+    the small fixtures (501 -> 250 -> 125 -> 62 vs 12 -> 6 -> 3 -> 1), so
+    any 'same'-padding / stride divergence between the supernet and Keras
+    only shows up here."""
+    data = prepare_dataset(
+        DataConfig(synthetic_train=32, synthetic_eval=8, time_steps=501,
+                   features=40, num_classes=11)
+    )
+    genome = dict(filters=32, kernel_size=5, use_bn=True, residual_blocks=3,
+                  fc_layers=2, use_dropout=True)
+    cfg = TrainConfig(epochs=1, batch_size=16, patience=1, num_classes=11,
+                      compute_dtype="float32", template="B")
+    params, state, _ = train_single(genome, data, cfg, seed=4)
+    model = build_keras_model(genome, 11, data["x_val"].shape[1:3], "B")
+    transplant_weights(model, genome, params, state)
+
+    from cmoop_audio_processing_tpu.models.supernet import BucketSpec
+
+    spec = BucketSpec("B", genome["filters"], genome["kernel_size"], 11,
+                      compute_dtype="float32",
+                      max_blocks=genome["residual_blocks"])
+    ours = _softmax(predict(spec, genome, params, state, data["x_val"]))
+    keras = model.predict(data["x_val"], verbose=0)
+    np.testing.assert_allclose(keras, ours, rtol=1e-4, atol=1e-5)
+    tf.keras.backend.clear_session()
+
+
 def test_export_keras_and_tflite_roundtrip(tmp_path, data):
     template, genome = GENOMES[0]
     cfg = TrainConfig(epochs=2, batch_size=32, patience=2, num_classes=4,
