@@ -63,7 +63,8 @@ def main() -> int:
             )
             os._exit(3)
 
-    threading.Thread(target=_watchdog, daemon=True).start()
+    if wall_limit > 0:  # 0 disables the bound (repo convention)
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
     from cmoop_audio_processing_tpu.core.genome import all_genomes

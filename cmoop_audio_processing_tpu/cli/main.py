@@ -180,7 +180,15 @@ def main(argv: Optional[list] = None, preset: Optional[str] = None) -> int:
     # it (and refuses a fingerprint mismatch). Explicit path wins, 'off'
     # disables.
     cache_path = args.fitness_cache
-    if cache_path is None and not args.fake_eval:
+    if args.fake_eval:
+        if cache_path not in (None, "off"):
+            raise SystemExit(
+                "--fitness-cache requires a real evaluator; the closed-form "
+                "--fake-eval path records nothing (and must never touch a "
+                "real run's cache file)"
+            )
+        cache_path = None
+    elif cache_path is None:
         cache_path = os.path.join(
             cfg.output_dir, cfg.name, "fitness_cache.jsonl"
         )

@@ -142,9 +142,10 @@ class PopulationEvaluator:
                 evaluator_fingerprint,
             )
 
+            n_pop_axis = int(mesh.shape["pop"]) if mesh is not None else 1
             self.fitness_cache = FitnessCache(
                 fitness_cache_path,
-                evaluator_fingerprint(train_cfg, data, n_data),
+                evaluator_fingerprint(train_cfg, data, n_data, n_pop_axis),
             )
         self._compiled: Dict[tuple, "jax.stages.Wrapped"] = {}
         self._eval_count = 0

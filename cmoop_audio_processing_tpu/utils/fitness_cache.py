@@ -54,15 +54,21 @@ def dataset_fingerprint(data: Dict[str, np.ndarray]) -> str:
 
 
 def evaluator_fingerprint(train_cfg, data: Dict[str, np.ndarray],
-                          data_axis: int = 1) -> Dict:
+                          data_axis: int = 1, pop_axis: int = 1) -> Dict:
     """The inputs a cached fitness is valid for.
 
     ``data_axis`` (the 'data' mesh width) is included because batch-sharded
     runs are only logits-level — not bitwise — equal to single-device runs
     (argmax near-ties may resolve differently under psum reduction order).
+    ``pop_axis`` (the 'pop' mesh width) likewise: sharding the population
+    changes per-shard group sizes (shard_map'd grouped conv) and program
+    tiling, so mesh-vs-no-mesh fitnesses agree only to ~1e-3
+    (tests/test_parallel.py pins atol, not equality) — replaying across a
+    different pop width would silently mix non-identical fitnesses.
     """
     return {
-        "format": 1,
+        "format": 2,
+        "pop_axis": int(pop_axis),
         "epochs": int(train_cfg.epochs),
         "batch_size": int(train_cfg.batch_size),
         "patience": int(train_cfg.patience),
@@ -92,6 +98,16 @@ class FitnessCache:
         self._mem: Dict[Tuple[tuple, int], Fitness] = {}
         if os.path.exists(path) and os.path.getsize(path) > 0:
             self._load()
+            # Repair a crash-torn tail: a final line without a newline would
+            # otherwise concatenate with (and destroy) the next append.
+            # Writing the missing newline turns the torn fragment into its
+            # own junk line, which every load skips.
+            with open(path, "rb+") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+                    f.flush()
+                    os.fsync(f.fileno())
         else:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             with open(path, "w") as f:

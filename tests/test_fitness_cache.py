@@ -52,6 +52,13 @@ def test_cache_roundtrip_and_truncation(tmp_path):
     assert c2.get(GENOMES[1], 0) == (0.6, 2.0, 0.2)
     assert c2.get(GENOMES[0], 1) is None  # seed is part of the key
     assert c2.get(GENOMES[2], 0) is None
+    # the torn tail was REPAIRED on load: an append after the resume must
+    # not concatenate onto the fragment (which would permanently lose the
+    # first record written after every torn-tail resume)
+    c2.put_many([(GENOMES[2], 0, (0.7, 3.0, 0.3))])
+    c3 = FitnessCache(path, fp)
+    assert len(c3) == 3
+    assert c3.get(GENOMES[2], 0) == (0.7, 3.0, 0.3)
 
 
 def test_cache_rejects_foreign_fingerprint(tmp_path):
@@ -69,6 +76,19 @@ def test_cache_rejects_foreign_fingerprint(tmp_path):
     data2["x_train"] = data2["x_train"] + 1e-3
     with pytest.raises(ValueError, match="different training config"):
         FitnessCache(path, evaluator_fingerprint(CFG, data2))
+    # mesh widths change numerics (~1e-3 tolerance pins, not equality):
+    # both axes are part of the identity
+    base = evaluator_fingerprint(CFG, data)
+    assert evaluator_fingerprint(CFG, data, data_axis=2) != base
+    assert evaluator_fingerprint(CFG, data, pop_axis=2) != base
+    # and a mesh evaluator builds a pop_axis-bearing fingerprint: it must
+    # reject a cache recorded without the mesh
+    from cmoop_audio_processing_tpu.parallel.mesh import population_mesh
+
+    with pytest.raises(ValueError, match="different training config"):
+        PopulationEvaluator(
+            data, CFG, mesh=population_mesh(2, 1), fitness_cache_path=path
+        )
 
 
 def test_evaluator_replays_cached_fitness_exactly(tmp_path):
@@ -173,7 +193,7 @@ def test_cli_resume_uses_cache(tmp_path, monkeypatch):
     assert main(args[:-1]) == 0  # no --resume
     with open(cache) as f:
         lines = [json.loads(x) for x in f.read().splitlines() if x]
-    assert lines[0]["fingerprint"].get("format") == 1  # truncated + rewritten
+    assert lines[0]["fingerprint"].get("format") == 2  # truncated + rewritten
     assert len(lines) > 1
     assert main(args) == 0
     assert os.path.exists(cache)
@@ -184,6 +204,15 @@ def test_cli_resume_uses_cache(tmp_path, monkeypatch):
     # a second --resume pass opens the same cache (fingerprint accepted)
     # and completes as a no-op continuation
     assert main(args) == 0
+    # --fake-eval with an explicit cache path is rejected outright (the
+    # fake path records nothing and must never delete a real run's cache)
+    with pytest.raises(SystemExit, match="real evaluator"):
+        main([
+            "--preset", "nsga_penalty", "--out", out, "--seed", "3",
+            "--pop-size", "4", "--max-gen", "1", "--fake-eval",
+            "--fitness-cache", cache,
+        ])
+    assert os.path.exists(cache)  # untouched
     # --fitness-cache off disables wiring even under --resume
     out2 = str(tmp_path / "run2")
     assert main([
