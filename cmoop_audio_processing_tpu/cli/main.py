@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compaction-chunk", type=int,
                    help="epochs between early-stop lane compactions: -1 "
                         "adaptive (default), 0 always one-shot, N fixed")
+    p.add_argument("--launch-budget", type=float, metavar="SECONDS",
+                   help="estimated-device-seconds bound per training "
+                        "launch; over-budget launches run chunked (exactly "
+                        "one-shot-equal). Remote workers kill programs "
+                        "running ~1-2 min — lower this if a worker keeps "
+                        "crashing mid-launch. 0 disables the bound")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the population over N devices (0 = no mesh)")
     p.add_argument("--mesh-data", type=int, default=1,
@@ -93,6 +99,10 @@ def config_from_args(args) -> ExperimentConfig:
         )
     if args.parallel_impl:
         train = dataclasses.replace(train, parallel_impl=args.parallel_impl)
+    if args.launch_budget is not None:
+        train = dataclasses.replace(
+            train, launch_seconds_budget=args.launch_budget
+        )
     search = cfg.search
     if args.seed is not None:
         search = dataclasses.replace(search, seed=args.seed)

@@ -27,6 +27,15 @@ def test_preset_override_flow():
     assert cfg.search.pop_size == 6
     assert cfg.search.infill_percent == 0.2  # preserved from preset
     assert cfg.train.template == "B"
+    assert cfg.train.launch_seconds_budget == 20.0  # preset default kept
+    args2 = build_parser().parse_args(
+        ["--preset", "sa_nsga_penalty", "--launch-budget", "8"]
+    )
+    assert config_from_args(args2).train.launch_seconds_budget == 8.0
+    args3 = build_parser().parse_args(
+        ["--preset", "sa_nsga_penalty", "--launch-budget", "0"]
+    )
+    assert config_from_args(args3).train.launch_seconds_budget == 0.0
 
 
 def test_cli_fake_run_and_resume(tmp_path, capsys):
