@@ -296,36 +296,20 @@ class PopulationEvaluator:
         # before dispatch and after materialization — the tool for isolating
         # which program a remote worker died in.
         log_launches = os.environ.get("CMOOP_LOG_LAUNCHES", "0") == "1"
-        pending = []
-        for n, (chunk_idx, spec, padded) in enumerate(launches):
-            if log_launches:
-                print(
-                    f"[launch {n+1}/{len(launches)}] f={spec.filters} "
-                    f"k={spec.kernel} blocks={spec.max_blocks} "
-                    f"pop={len(padded)} dispatch t+{time.perf_counter()-t0:.1f}s",
-                    file=sys.stderr, flush=True,
-                )
-            fits = self._run_bucket(spec, padded, seed)
-            if sync:
-                fits = jax.tree.map(np.asarray, fits)
-                if log_launches:
-                    print(
-                        f"[launch {n+1}/{len(launches)}] materialized "
-                        f"t+{time.perf_counter()-t0:.1f}s",
-                        file=sys.stderr, flush=True,
-                    )
-            pending.append((chunk_idx, spec, fits))
         chunk_records = []
-        for chunk_idx, spec, fits in pending:
-            fits = jax.tree.map(np.asarray, fits)  # blocks; all in flight
+
+        def _materialize(chunk_idx, spec, fits):
+            """Block on a launch's results, publish them, and make them
+            durable — called inline per launch under sync dispatch (so a
+            worker crash at launch N loses nothing from launches < N), and
+            in the overlap pass otherwise (durable per bucket)."""
+            fits = jax.tree.map(np.asarray, fits)
             for j, gi in enumerate(chunk_idx):
                 g = genomes[gi]
                 acc, fpr = fits["acc"][j], fits["fpr"][j]
                 size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
                 results[gi] = (float(acc), float(size), float(fpr))
             if self.fitness_cache is not None:
-                # durable per bucket, not per generation: a crash while later
-                # buckets are still materializing loses only those buckets
                 self.fitness_cache.put_many(
                     [(genomes[gi], seed, results[gi]) for gi in chunk_idx]
                 )
@@ -340,6 +324,29 @@ class PopulationEvaluator:
                 "compacted": self._effective_chunk(pop, spec) > 0,
                 "epochs": [int(e) for e in fits["epochs"]],
             })
+
+        pending = []
+        for n, (chunk_idx, spec, padded) in enumerate(launches):
+            if log_launches:
+                print(
+                    f"[launch {n+1}/{len(launches)}] f={spec.filters} "
+                    f"k={spec.kernel} blocks={spec.max_blocks} "
+                    f"pop={len(padded)} dispatch t+{time.perf_counter()-t0:.1f}s",
+                    file=sys.stderr, flush=True,
+                )
+            fits = self._run_bucket(spec, padded, seed)
+            if sync:
+                _materialize(chunk_idx, spec, fits)
+                if log_launches:
+                    print(
+                        f"[launch {n+1}/{len(launches)}] materialized "
+                        f"t+{time.perf_counter()-t0:.1f}s",
+                        file=sys.stderr, flush=True,
+                    )
+            else:
+                pending.append((chunk_idx, spec, fits))
+        for chunk_idx, spec, fits in pending:
+            _materialize(chunk_idx, spec, fits)  # blocks; all in flight
         self.timings.append(
             {
                 "n_genomes": len(genomes),

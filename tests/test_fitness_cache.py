@@ -157,6 +157,56 @@ def test_cache_written_per_bucket_not_per_generation(tmp_path, monkeypatch):
     assert len(calls) == 2 and all(c == 1 for c in calls), calls
 
 
+def test_sync_dispatch_equal_and_durable_per_launch(tmp_path, monkeypatch):
+    """CMOOP_SYNC_DISPATCH=1 materializes each launch before dispatching the
+    next: results are bitwise-identical to the overlapped path, AND every
+    finished launch is already durable when the next one starts — a worker
+    crash at launch N loses nothing from launches < N."""
+    data = small_data()
+
+    # two distinct (filters, kernel) buckets -> two launches
+    by_kernel = {}
+    for g in all_genomes():
+        if g["filters"] == 16 and g["residual_blocks"] == 1:
+            by_kernel.setdefault(g["kernel_size"], g)
+    gs = list(by_kernel.values())
+    assert len(gs) == 2
+
+    ref = np.asarray(PopulationEvaluator(data, CFG).evaluate(gs, seed=5))
+
+    monkeypatch.setenv("CMOOP_SYNC_DISPATCH", "1")
+    path = str(tmp_path / "fits.jsonl")
+    ev = PopulationEvaluator(data, CFG, fitness_cache_path=path)
+    out = np.asarray(ev.evaluate(gs, seed=5))
+    np.testing.assert_array_equal(out, ref)
+
+    # crash during launch 2: launch 1's result must already be on disk
+    path2 = str(tmp_path / "crash.jsonl")
+    ev2 = PopulationEvaluator(data, CFG, fitness_cache_path=path2)
+    orig = PopulationEvaluator._run_bucket
+    launches = []
+
+    def crash_on_second(self, spec, padded, seed):
+        launches.append(spec)
+        if len(launches) == 2:
+            raise RuntimeError("worker died")
+        return orig(self, spec, padded, seed)
+
+    monkeypatch.setattr(PopulationEvaluator, "_run_bucket", crash_on_second)
+    with pytest.raises(RuntimeError, match="worker died"):
+        ev2.evaluate(gs, seed=5)
+    monkeypatch.setattr(PopulationEvaluator, "_run_bucket", orig)
+
+    replay = FitnessCache(path2, ev2.fitness_cache.fingerprint)
+    survived = [g for g in gs if replay.get(g, 5) is not None]
+    assert len(survived) == 1  # the finished launch, not zero
+    # and the resume replays it bitwise + completes the rest
+    ev3 = PopulationEvaluator(data, CFG, fitness_cache_path=path2)
+    out3 = np.asarray(ev3.evaluate(gs, seed=5))
+    np.testing.assert_array_equal(out3, ref)
+    assert ev3.timings[-1]["cache_hits"] == 1
+
+
 def test_cli_resume_uses_cache(tmp_path, monkeypatch):
     """The cache is on by default for every real run (so a first run that
     crashes already has its finished trainings on disk); a fresh run
