@@ -120,7 +120,7 @@ def main() -> int:
     # the warmup, and the measurement shows steady-state throughput.
     ev = make_eval(16)
     ev.evaluate(genomes, seed=1)  # warmup: compile + trace
-    n_reps = int(os.environ.get("BENCH_REPS", "5"))
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", "5")))
     reps = []
     for _ in range(n_reps):  # median of repeats damps tunnel-latency noise
         t0 = time.perf_counter()

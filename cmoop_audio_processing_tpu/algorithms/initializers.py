@@ -81,8 +81,11 @@ def psi_init(
     A missing seed file is reported and yields an EMPTY population instead of
     raising, reproducing the reference's clean-exit handling of a missing
     Final.xlsx (psi_mobo_2.py:365-369: print the error, return empty
-    results); the drivers treat an empty PSI init as a no-op run."""
+    results); the drivers treat an empty PSI init as a no-op run. A
+    zero-byte or corrupt workbook (torn stage-1 export) is handled the same
+    way, matching psi_merge's skip behavior for the identical inputs."""
     import sys
+    import zipfile
 
     try:
         if seed_file.endswith((".xlsx", ".xls")):
@@ -97,6 +100,12 @@ def psi_init(
             df = pd.read_csv(seed_file)
     except FileNotFoundError:
         print(f"Error: The file '{seed_file}' was not found.", file=sys.stderr)
+        return []
+    except (ValueError, KeyError, zipfile.BadZipFile) as exc:
+        print(
+            f"Error: The file '{seed_file}' could not be read ({exc}).",
+            file=sys.stderr,
+        )
         return []
 
     pop: List[Individual] = []

@@ -123,6 +123,12 @@ def run_sa_nsga2(
     else:
         with StageTimer(reporter, "init_eval"):
             pop_data = initialize(cfg, rng, evaluator)
+        if not pop_data:
+            # PSI seed file missing/empty: clean no-op run, mirroring the
+            # reference's message-and-return handling (psi_mobo_2.py:365-369)
+            if reporter:
+                reporter.log("empty_init", initializer=cfg.initializer)
+            return [], []
         with StageTimer(reporter, "surrogate_init"):
             surrogate.update([d["hparams"] for d in pop_data], pop_data)
 

@@ -102,7 +102,8 @@ def write_xlsx(path: str, sheets: SheetsArg) -> str:
     ct_entries = []
     for i, (name, _df) in enumerate(named, start=1):
         sheet_entries.append(
-            f'<sheet name="{escape(str(name))}" sheetId="{i}" r:id="rId{i}"/>'
+            f'<sheet name="{escape(str(name), {chr(34): "&quot;"})}" '
+            f'sheetId="{i}" r:id="rId{i}"/>'
         )
         rel_entries.append(
             f'<Relationship Id="rId{i}" Type="{_REL_NS}/worksheet" '

@@ -10,7 +10,7 @@ early stopping fires at realistic epochs, like on real recordings, instead
 of every candidate training to the 300-epoch cap):
 
 * an audible noise floor (SNR roughly 6-20 dB per clip), and
-* cross-class distractors: ~35% of clips contain a few syllables from a
+* cross-class distractors: ~45% of clips contain a few syllables from a
   random OTHER species at comparable amplitude (overlapping songs are the
   norm in real soundscape recordings).
 

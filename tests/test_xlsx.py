@@ -65,6 +65,16 @@ def test_multi_sheet_by_index_and_name(tmp_path):
         read_xlsx(path, "Gen_9")
 
 
+def test_sheet_name_with_quotes_and_angles(tmp_path):
+    """Sheet names land in an XML attribute: quotes and angle brackets must
+    be escaped or the workbook part is malformed."""
+    path = str(tmp_path / "quoted.xlsx")
+    name = 'Q3 "final" <draft>'
+    write_xlsx(path, [(name, pd.DataFrame({"x": [1]}))])
+    assert sheet_names(path) == [name]
+    assert read_xlsx(path, name)["x"].tolist() == [1]
+
+
 def test_is_a_real_zip_package(tmp_path):
     """The artifact must be an actual OOXML package (zip with the workbook
     part), not a renamed CSV."""
@@ -161,6 +171,37 @@ def test_nsga2_psi_missing_file_noop_run(tmp_path):
     )
     pareto, gen_dfs = run_nsga2(cfg, FakeEvaluator())
     assert pareto == [] and gen_dfs == []
+
+
+def test_sa_nsga2_psi_missing_file_noop_run(tmp_path):
+    """The driver every PSI preset actually routes through (algorithm=
+    'sa_nsga2') gets the same empty-init grace — a missing Final.xlsx must
+    not reach the surrogate fit or the EA with an empty population."""
+    import dataclasses
+
+    from cmoop_audio_processing_tpu.algorithms.sa_nsga2 import run_sa_nsga2
+    from cmoop_audio_processing_tpu.core.config import get_preset
+    from cmoop_audio_processing_tpu.engine.evaluator import FakeEvaluator
+
+    cfg = get_preset("psi_init_sa_nsga").search
+    cfg = dataclasses.replace(
+        cfg, psi_seed_file=str(tmp_path / "nope.xlsx"), max_gen=2
+    )
+    pareto, gen_dfs = run_sa_nsga2(cfg, FakeEvaluator())
+    assert pareto == [] and gen_dfs == []
+
+
+def test_psi_init_corrupt_workbook_clean_exit(tmp_path, capsys):
+    """A zero-byte or truncated Final.xlsx (torn stage-1 export) is skipped
+    with a message like the missing-file case, mirroring psi_merge's
+    handling of the identical inputs."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+
+    corrupt = tmp_path / "Final.xlsx"
+    corrupt.write_bytes(b"")
+    pop = psi_init(str(corrupt), Constraints(0.9, 2.5, 0.09))
+    assert pop == []
+    assert "could not be read" in capsys.readouterr().err
 
 
 def test_mobo_psi_missing_file_noop_run(tmp_path):
