@@ -27,7 +27,16 @@ def _host_cpu_fingerprint() -> str:
     with a different feature set (e.g. AMX/AVX-512 variants) loads with a
     'machine type mismatch' warning and can produce subtly different
     numerics or SIGILL. Keying the CPU cache by the feature set makes stale
-    cross-host entries unreachable instead of silently wrong."""
+    cross-host entries unreachable instead of silently wrong.
+
+    Note: XLA's load-time warning itself is NOT evidence of a cross-host
+    entry — reloading an entry on the very machine that compiled it still
+    prints 'Target machine feature +prefer-no-scatter/+prefer-no-gather is
+    not supported on the host machine', because those LLVM tuning
+    pseudo-features are embedded at compile time but never listed by the
+    load-time host-feature probe (verified empirically: fresh cache, same
+    box, second process warns). Treat the warning as noise; this
+    fingerprint is what actually guards against foreign entries."""
     try:
         parts = []
         with open("/proc/cpuinfo") as f:
