@@ -146,7 +146,13 @@ def main(argv=None) -> int:
             ranked = rank_front(df)
             out_path = os.path.join(rank_dir, f"ranked_{name}.csv")
             ranked.to_csv(out_path, index=False)
-            print(f"Tchebycheff ranking for {name} -> {out_path}")
+            # the reference notebook's literal artifact is an .xlsx
+            # (Tchebycheff s_rank.ipynb: output_file = "ranked_MOBO.xlsx")
+            from ..utils.xlsx import write_xlsx
+
+            xlsx_path = os.path.join(rank_dir, f"ranked_{name}.xlsx")
+            write_xlsx(xlsx_path, {"Sheet1": ranked})
+            print(f"Tchebycheff ranking for {name} -> {out_path} (+ .xlsx)")
 
     if args.out:
         with open(args.out, "w") as f:

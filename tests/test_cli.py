@@ -87,6 +87,28 @@ def test_compare_cli(tmp_path, capsys):
     assert "Coverage (C-Metric):" in text
 
 
+def test_compare_cli_rank_emits_reference_xlsx(tmp_path, capsys):
+    """--rank writes the notebook's literal artifact (ranked_<name>.xlsx,
+    Tchebycheff s_rank.ipynb output_file) alongside the CSV, as a real
+    workbook readable by the stdlib reader."""
+    from cmoop_audio_processing_tpu.utils.xlsx import read_xlsx
+
+    pd.DataFrame(
+        {"Accuracy": [0.95, 0.91], "Size_MB": [1.0, 0.4], "FPR": [0.02, 0.05]}
+    ).to_csv(tmp_path / "m.csv", index=False)
+    rc = compare_main(
+        ["--front", f"MOBO={tmp_path/'m.csv'}",
+         "--out", str(tmp_path / "rep.json"), "--rank"]
+    )
+    assert rc == 0
+    ranked = read_xlsx(str(tmp_path / "ranked_MOBO.xlsx"), "Sheet1")
+    assert list(ranked["Rank"]) == sorted(ranked["Rank"])
+    csv_ranked = pd.read_csv(tmp_path / "ranked_MOBO.csv")
+    assert ranked["Tchebycheff Score"].tolist() == pytest.approx(
+        csv_ranked["Tchebycheff Score"].tolist()
+    )
+
+
 def test_extract_features_cli(tmp_path):
     from cmoop_audio_processing_tpu.frontend.audio_io import save_wav
 
