@@ -65,6 +65,31 @@ def test_multi_sheet_by_index_and_name(tmp_path):
         read_xlsx(path, "Gen_9")
 
 
+def test_roundtrip_fuzz_unicode_and_extremes(tmp_path):
+    """Randomized round-trip: unicode text (incl. XML-special chars and
+    non-BMP emoji), extreme/denormal floats, and negative/large ints must
+    survive write->read bitwise (floats via repr round-trip)."""
+    rng = np.random.default_rng(7)
+    alphabet = list("abc<>&\"' \t𝛼中ß€😀\n") + ["&amp;", "]]>"]
+    for trial in range(5):
+        n = int(rng.integers(1, 9))
+        text = [
+            "".join(rng.choice(alphabet, size=rng.integers(0, 12)))
+            for _ in range(n)
+        ]
+        floats = rng.choice(
+            [0.0, -0.0, 1e-308, -1e308, 3.141592653589793, 1e300], size=n
+        ) * (1 + rng.random(n))
+        ints = rng.integers(-(2**62), 2**62, size=n)
+        df = pd.DataFrame({"t": text, "f": floats, "i": ints})
+        path = str(tmp_path / f"fuzz{trial}.xlsx")
+        write_xlsx(path, {"S": df})
+        back = read_xlsx(path, "S")
+        assert back["t"].fillna("").tolist() == text
+        assert back["f"].tolist() == list(floats)
+        assert back["i"].tolist() == list(ints)
+
+
 def test_sheet_name_with_quotes_and_angles(tmp_path):
     """Sheet names land in an XML attribute: quotes and angle brackets must
     be escaped or the workbook part is malformed."""
