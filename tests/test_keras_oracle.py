@@ -143,3 +143,46 @@ def test_per_layer_shapes_match_keras(builders, template):
         )
         assert keras_shapes == _expected_weight_shapes(g, template), g
         tf.keras.backend.clear_session()
+
+
+def test_init_sa_nsga_local_unpack_defect():
+    """Pin the reference defect documented in PARITY.md 'Known deviations':
+    init_sa_nsga_local.py:105-106 unpacks the genome from
+    sorted(HPARAM_SPACE.keys()), assigning filters <- fc_layers (1-4 conv
+    filters) and num_fc <- filters (16/32/64, never a key of fc_configs, so
+    the FC stack is silently dropped at :124). Executing the reference's own
+    build_model proves the crippled architecture is the reference's
+    behavior — the corrected template-B mapping used by the
+    `init_sa_nsga_local` preset here is a deliberate divergence."""
+    from cmoop_audio_processing_tpu.core.genome import HPARAM_SPACE
+
+    path = os.path.join(REF_DIR, "ablation_study", "init_sa_nsga_local.py")
+    with open(path) as fh:
+        tree = ast.parse(fh.read())
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "build_model"
+    )
+    from tensorflow.keras import Model, layers
+
+    ns = {
+        "layers": layers,
+        "Model": Model,
+        "X_train": np.zeros((1,) + INPUT_HW, np.float32),
+        "CLASSES": NUM_CLASSES,
+        # the same 6-gene space; build_model reads it only for sorted keys
+        "HPARAM_SPACE": dict(HPARAM_SPACE),
+    }
+    exec(compile(ast.Module([fn], type_ignores=[]), path, "exec"), ns)
+
+    g = {"filters": 64, "kernel_size": 3, "use_bn": False,
+         "residual_blocks": 1, "fc_layers": 2, "use_dropout": False}
+    model = ns["build_model"](g)
+
+    convs = [l for l in model.layers if isinstance(l, layers.Conv2D)]
+    denses = [l for l in model.layers if isinstance(l, layers.Dense)]
+    # stem got the fc_layers gene (2 filters), not filters (64)
+    assert convs[0].filters == g["fc_layers"]
+    # the entire FC stack vanished: only the softmax head remains
+    assert len(denses) == 1 and denses[0].units == NUM_CLASSES
+    tf.keras.backend.clear_session()
