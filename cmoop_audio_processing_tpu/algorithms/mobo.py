@@ -140,7 +140,10 @@ def run_mobo(
             reporter.log("mobo_iteration", it=it, archive=len(all_genomes))
             if (it + 1) % cfg.periodic_save_every == 0 or it == cfg.max_iterations - 1:
                 pareto_now = _pareto_individuals(all_genomes, y_objs, y_cv, cfg)
-                reporter.periodic_pareto(it, pareto_now, include_cv=True)
+                reporter.periodic_pareto(
+                    it, pareto_now, include_cv=True, prefix="mobo",
+                    force=it == cfg.max_iterations - 1,
+                )
         if checkpoint_path:
             save_checkpoint(
                 checkpoint_path,

@@ -76,13 +76,22 @@ class RunReporter:
         return df
 
     def periodic_pareto(
-        self, gen: int, pareto_set: Sequence[Individual], include_cv: bool = False
+        self,
+        gen: int,
+        pareto_set: Sequence[Individual],
+        include_cv: bool = False,
+        prefix: str = "pareto",
+        force: bool = False,
     ) -> Optional[str]:
         """Write the every-N-generations Pareto CSV
-        (nsga_penalty.py:738-763: filename pattern *_iteration_{gen+1}.csv)."""
-        if (gen + 1) % self.periodic_every != 0:
+        (nsga_penalty.py:738-763: filename pattern *_iteration_{gen+1}.csv;
+        the MOBO driver passes prefix="mobo" for its
+        mobo_iteration_{it+1}.csv naming, mobo_penalty.py:464, and
+        force=True on the last iteration — the reference saves there
+        regardless of the every-N schedule, mobo_penalty.py:427)."""
+        if not force and (gen + 1) % self.periodic_every != 0:
             return None
-        path = os.path.join(self.dir, f"pareto_iteration_{gen + 1}.csv")
+        path = os.path.join(self.dir, f"{prefix}_iteration_{gen + 1}.csv")
         pd.DataFrame(
             [pareto_row(ind, include_cv) for ind in pareto_set]
         ).to_csv(path, index=False)

@@ -164,6 +164,9 @@ def test_mobo_end_to_end(tmp_path):
     expected = int(ea.nondominated_mask(pts).sum())
     assert len(pareto) == expected
     assert os.path.exists(tmp_path / "mobo_test" / "mobo_pareto.csv")
+    # periodic exports carry the reference's mobo_iteration_{it+1} naming
+    # (mobo_penalty.py:464), not the NSGA-II pareto_iteration_ pattern
+    assert os.path.exists(tmp_path / "mobo_test" / "mobo_iteration_4.csv")
 
 
 def test_nsga2_checkpoint_resume_exact(tmp_path):
