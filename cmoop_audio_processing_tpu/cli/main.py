@@ -148,6 +148,23 @@ def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
     )
 
 
+def _emit_artifact_aliases(run_dir: str, suffix: Optional[str]) -> None:
+    """Copy the canonical final artifacts under the reference script's
+    literal names (ExperimentConfig.artifact_suffix: final_pareto_<suffix>
+    .csv / all_generations_<suffix>.xlsx, e.g. sa_nsga_penalty.py:647,664)."""
+    if not suffix:
+        return
+    import shutil
+
+    for canonical, alias in (
+        ("final_pareto.csv", f"final_pareto_{suffix}.csv"),
+        ("all_generations.xlsx", f"all_generations_{suffix}.xlsx"),
+    ):
+        src = os.path.join(run_dir, canonical)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(run_dir, alias))
+
+
 def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
     from ..utils.reporting import RunReporter
 
@@ -162,16 +179,21 @@ def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
     if cfg.algorithm == "nsga2":
         from ..algorithms.nsga2 import run_nsga2
 
-        return run_nsga2(cfg.search, evaluator, reporter, checkpoint_path=ck)
-    if cfg.algorithm == "sa_nsga2":
+        result = run_nsga2(cfg.search, evaluator, reporter, checkpoint_path=ck)
+    elif cfg.algorithm == "sa_nsga2":
         from ..algorithms.sa_nsga2 import run_sa_nsga2
 
-        return run_sa_nsga2(cfg.search, evaluator, reporter, checkpoint_path=ck)
-    if cfg.algorithm == "mobo":
+        result = run_sa_nsga2(
+            cfg.search, evaluator, reporter, checkpoint_path=ck
+        )
+    elif cfg.algorithm == "mobo":
         from ..algorithms.mobo import run_mobo
 
-        return run_mobo(cfg.mobo, evaluator, reporter, checkpoint_path=ck)
-    raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
+        result = run_mobo(cfg.mobo, evaluator, reporter, checkpoint_path=ck)
+    else:
+        raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
+    _emit_artifact_aliases(reporter.dir, cfg.artifact_suffix)
+    return result
 
 
 def main(argv: Optional[list] = None, preset: Optional[str] = None) -> int:

@@ -175,6 +175,14 @@ class ExperimentConfig:
     mobo: Optional[MoboConfig] = None
     algorithm: str = "nsga2"  # "nsga2" | "sa_nsga2" | "mobo"
     output_dir: str = "results"
+    # Each reference script names its final artifacts with its own suffix
+    # (final_pareto_surrogate.csv sa_nsga_penalty.py:664, _2_obj
+    # acc_size_nsga_1.py:555, _surrogate_ls sa_nsga_local.py:577, _memetic,
+    # _acc_fpr, _size_fpr; all_generations_* likewise). The canonical
+    # final_pareto.csv / all_generations.xlsx are always written; when this
+    # is set, the CLI additionally emits copies under the script's literal
+    # names.
+    artifact_suffix: Optional[str] = None
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
@@ -347,6 +355,20 @@ def _presets() -> Dict[str, ExperimentConfig]:
         ),
         algorithm="nsga2",
     )
+
+    # per-script literal artifact names (see ExperimentConfig.artifact_suffix)
+    for preset_name, suffix in {
+        "sa_nsga_penalty": "surrogate",      # sa_nsga_penalty.py:647,664
+        "sa_nsga_init": "surrogate",         # sa_nsga_init.py
+        "psi_init_sa_nsga": "surrogate",     # psi_init_sa_nsga.py
+        "sa_nsga_local": "surrogate_ls",     # sa_nsga_local.py:561,577
+        "psi_sa_nsga_local": "surrogate_ls",  # psi_sa_nsga_local.py
+        "init_sa_nsga_local": "memetic",     # init_sa_nsga_local.py
+        "acc_size_nsga_1": "2_obj",          # acc_size_nsga_1.py:528,555
+        "acc_fpr_nsga_1": "acc_fpr",         # acc_fpr_nsga_1.py
+        "size_fpr_nsga_1": "size_fpr",       # size_fpr_nsga_1.py
+    }.items():
+        p[preset_name] = p[preset_name].replace(artifact_suffix=suffix)
     return p
 
 

@@ -109,6 +109,28 @@ def test_compare_cli_rank_emits_reference_xlsx(tmp_path, capsys):
     )
 
 
+def test_cli_emits_reference_literal_artifact_names(tmp_path):
+    """Each script names its final artifacts with its own suffix
+    (final_pareto_2_obj.csv acc_size_nsga_1.py:555, all_generations_2_obj
+    .xlsx :528, ...); the CLI emits those literal names alongside the
+    canonical ones."""
+    import filecmp
+
+    from cmoop_audio_processing_tpu.cli.main import main as cli_main
+
+    rc = cli_main(
+        ["--preset", "acc_size_nsga_1", "--fake-eval", "--max-gen", "3",
+         "--pop-size", "6", "--out", str(tmp_path)]
+    )
+    assert rc == 0
+    d = tmp_path / "acc_size_nsga_1"
+    assert (d / "final_pareto.csv").exists()
+    assert filecmp.cmp(d / "final_pareto.csv", d / "final_pareto_2_obj.csv")
+    assert filecmp.cmp(
+        d / "all_generations.xlsx", d / "all_generations_2_obj.xlsx"
+    )
+
+
 def test_extract_features_cli(tmp_path):
     from cmoop_audio_processing_tpu.frontend.audio_io import save_wav
 
