@@ -37,6 +37,28 @@ from .initializers import psi_init
 FEAS_TOL = 1e-8  # mobo_penalty.py:471 feasibility tolerance
 
 
+def _archive_df(
+    all_genomes, y_objs, y_cv, n: int, initial_samples: int
+) -> pd.DataFrame:
+    """First ``n`` archive rows as the reference's per-iteration table
+    (mobo_penalty.py:408-425: row label = index for the initial design,
+    ``init+k`` for acquisition picks)."""
+    records = []
+    for j in range(n):
+        records.append(
+            {
+                "Iteration": j if j < initial_samples
+                else f"init+{j - initial_samples + 1}",
+                "Accuracy": -y_objs[j, 0],
+                "Size_MB": y_objs[j, 1],
+                "FPR": y_objs[j, 2],
+                "CV": y_cv[j, 0],
+                **all_genomes[j],
+            }
+        )
+    return pd.DataFrame(records)
+
+
 def _true_eval(evaluator, genome, cfg: MoboConfig, seed: int):
     acc, size, fpr = evaluator.evaluate([genome], seed=seed)[0]
     cv = cfg.constraints.violation(acc, size, fpr)
@@ -64,7 +86,22 @@ def run_mobo(
         ]
         rng.load_state_dict(ckpt["rng"])
         start_iter = ckpt["iteration"] + 1
+        # the PSI branch resizes initial_samples to the seed-file row count
+        # at init; recover it from the restored archive (one acquisition row
+        # was appended per completed iteration), then rebuild the completed
+        # iterations' sheets so the final workbook keeps them
+        cfg = dataclasses.replace(
+            cfg, initial_samples=len(all_genomes) - start_iter
+        )
+        for past in range(start_iter):
+            gen_dfs.append(
+                _archive_df(
+                    all_genomes, y_objs, y_cv,
+                    cfg.initial_samples + past + 1, cfg.initial_samples,
+                )
+            )
         if reporter:
+            reporter.gen_dfs = list(gen_dfs)
             reporter.log("resume", iteration=start_iter)
     else:
         # initial design: random samples or PSI stage-1 seeds (no retraining)
@@ -120,29 +157,23 @@ def run_mobo(
             all_genomes.append(g_next)
 
         # per-iteration full-archive DataFrame (mobo_penalty.py:408-425)
-        records = []
-        for j in range(x_vec.shape[0]):
-            records.append(
-                {
-                    "Iteration": j if j < cfg.initial_samples
-                    else f"init+{j - cfg.initial_samples + 1}",
-                    "Accuracy": -y_objs[j, 0],
-                    "Size_MB": y_objs[j, 1],
-                    "FPR": y_objs[j, 2],
-                    "CV": y_cv[j, 0],
-                    **all_genomes[j],
-                }
+        gen_dfs.append(
+            _archive_df(
+                all_genomes, y_objs, y_cv, x_vec.shape[0], cfg.initial_samples
             )
-        gen_dfs.append(pd.DataFrame(records))
+        )
 
         if reporter:
             reporter.gen_dfs = gen_dfs
             reporter.log("mobo_iteration", it=it, archive=len(all_genomes))
             if (it + 1) % cfg.periodic_save_every == 0 or it == cfg.max_iterations - 1:
                 pareto_now = _pareto_individuals(all_genomes, y_objs, y_cv, cfg)
+                # force=True: this driver's own every-N gate (above) is the
+                # schedule of record; without it the reporter would re-gate on
+                # ITS periodic_every and silently drop saves whenever the two
+                # knobs disagree
                 reporter.periodic_pareto(
-                    it, pareto_now, include_cv=True, prefix="mobo",
-                    force=it == cfg.max_iterations - 1,
+                    it, pareto_now, include_cv=True, prefix="mobo", force=True,
                 )
         if checkpoint_path:
             save_checkpoint(

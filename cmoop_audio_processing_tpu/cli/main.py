@@ -170,7 +170,11 @@ def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
 
     reporter = RunReporter(
         cfg.output_dir, cfg.name,
-        periodic_every=cfg.search.periodic_save_every,
+        # MOBO's periodic schedule lives on its own config (mobo_penalty.py
+        # saves every N ITERATIONS); the EA drivers gate on the reporter
+        periodic_every=(cfg.mobo.periodic_save_every if cfg.algorithm == "mobo"
+                        else cfg.search.periodic_save_every),
+        resume=resume,
     )
     ck = os.path.join(reporter.dir, "checkpoint.json")
     if not resume and os.path.exists(ck):

@@ -45,14 +45,44 @@ def _excel_available() -> bool:
 
 
 class RunReporter:
-    def __init__(self, output_dir: str, run_name: str, periodic_every: int = 5):
+    def __init__(
+        self, output_dir: str, run_name: str, periodic_every: int = 5,
+        resume: bool = False,
+    ):
         self.dir = os.path.join(output_dir, run_name)
         os.makedirs(self.dir, exist_ok=True)
         self.run_name = run_name
         self.periodic_every = periodic_every
         self.gen_dfs: List[pd.DataFrame] = []
+        self._gen_ids: List[int] = []
+        self._combined_path = os.path.join(self.dir, "all_generations.csv")
         self._log_path = os.path.join(self.dir, "progress.jsonl")
         self._t0 = time.perf_counter()
+        if resume:
+            self._restore_generations()
+        elif os.path.exists(self._combined_path):
+            # fresh run into an existing dir: stale per-generation rows from
+            # a previous run must not leak into this run's workbook
+            os.unlink(self._combined_path)
+
+    def _restore_generations(self) -> None:
+        """Reload the per-generation rows flushed by a previous (crashed or
+        completed) process so a resumed run's final ``all_generations``
+        workbook still contains the pre-resume generations instead of
+        clobbering them. MOBO sheets carry no Generation column (cumulative
+        archive snapshots) — the MOBO driver rebuilds them from its restored
+        archive instead."""
+        if not os.path.exists(self._combined_path):
+            return
+        try:
+            df = pd.read_csv(self._combined_path)
+        except Exception:
+            return  # torn/empty file; the resumed loop re-records its gens
+        if df.empty or "Generation" not in df.columns:
+            return
+        for g, sub in df.groupby("Generation", sort=True):
+            self.gen_dfs.append(sub.reset_index(drop=True))
+            self._gen_ids.append(int(g))
 
     # -- structured progress log ----------------------------------------------
 
@@ -65,7 +95,15 @@ class RunReporter:
 
     def record_generation(self, gen: int, pop_data: Sequence[Individual]) -> pd.DataFrame:
         df = pd.DataFrame([generation_row(ind, gen) for ind in pop_data])
+        if gen in self._gen_ids:
+            # a crash landed between this generation's flush and its
+            # checkpoint: the resumed loop re-runs it, superseding the row set
+            cut = self._gen_ids.index(gen)
+            del self.gen_dfs[cut:]
+            del self._gen_ids[cut:]
         self.gen_dfs.append(df)
+        self._gen_ids.append(gen)
+        self._flush_combined()
         feasibles = [ind for ind in pop_data if ind["CV"] == 0]
         self.log(
             "generation",
@@ -126,10 +164,17 @@ class RunReporter:
 
             sheets = [(f"Gen_{i}", df) for i, df in enumerate(self.gen_dfs)]
             write_xlsx(path, sheets or [("Gen_0", pd.DataFrame())])
-        combined = os.path.join(self.dir, "all_generations.csv")
-        if self.gen_dfs:
-            pd.concat(self.gen_dfs, ignore_index=True).to_csv(combined, index=False)
+        self._flush_combined()
         return path
+
+    def _flush_combined(self) -> None:
+        """Rewrite the combined per-generation CSV after every recorded
+        generation — both the grep-able twin of the workbook and the durable
+        store ``_restore_generations`` reloads on ``--resume``."""
+        if self.gen_dfs:
+            pd.concat(self.gen_dfs, ignore_index=True).to_csv(
+                self._combined_path, index=False
+            )
 
 
 class StageTimer:

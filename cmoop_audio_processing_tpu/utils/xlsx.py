@@ -21,6 +21,7 @@ dates, merged cells, multi-row headers.
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from typing import Dict, Iterable, List, Sequence, Tuple, Union
@@ -58,6 +59,10 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}"/>'  # blank cell for None/NaN
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, float) and math.isinf(value):
+        # xsd:double spells infinity INF/-INF; Python's repr ('inf') is not
+        # valid OOXML and external readers reject the cell
+        return f'<c r="{ref}"><v>{"INF" if value > 0 else "-INF"}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     text = escape(str(value))
@@ -149,7 +154,12 @@ def write_xlsx(path: str, sheets: SheetsArg) -> str:
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
         for i, (_name, df) in enumerate(named, start=1):
-            rows = [list(df.columns)] + df.values.tolist()
+            # itertuples keeps each value typed by ITS column; df.values
+            # would upcast a mixed int/float frame to float64, silently
+            # rounding integer columns beyond 2**53
+            rows = [list(df.columns)] + [
+                list(t) for t in df.itertuples(index=False, name=None)
+            ]
             zf.writestr(f"xl/worksheets/sheet{i}.xml", _sheet_xml(rows))
     return path
 
@@ -191,19 +201,22 @@ def _cell_value(cell: ET.Element, shared: List[str]):
         return bool(int(v))
     if ctype == "str":
         return v
-    # numeric: keep ints exact (genome columns), floats otherwise
-    f = float(v)
+    # numeric: keep ints exact (genome columns), floats otherwise. Integer-
+    # formatted cells parse through int() directly so magnitudes beyond
+    # 2**53 survive bit-exactly (float(v) would silently round them).
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    f = float(v)  # also accepts the xsd:double spellings INF/-INF/NaN
     return int(f) if f.is_integer() and abs(f) < 2 ** 53 else f
 
 
 def sheet_names(path: str) -> List[str]:
     with zipfile.ZipFile(path) as zf:
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
-    return [
-        s.get("name", f"Sheet{i + 1}")
-        for i, s in enumerate(wb.iter())
-        if _local(s.tag) == "sheet"
-    ]
+    sheets = [s for s in wb.iter() if _local(s.tag) == "sheet"]
+    return [s.get("name", f"Sheet{i + 1}") for i, s in enumerate(sheets)]
 
 
 def read_xlsx(path: str, sheet: Union[int, str] = 0) -> pd.DataFrame:

@@ -44,6 +44,14 @@ REF_DIR = "/root/reference"
 REF_SCRIPTS = {"A": "nsga_penalty.py", "B": "sa_nsga_penalty.py"}
 
 
+def _gkey(genome) -> tuple:
+    """Content key for checkpoint records: ``pick_genomes`` is not
+    prefix-stable across different ``--genomes`` counts, so keying fits by
+    positional index could silently pair a Keras result with a DIFFERENT
+    genome on resume. Sorted (gene, value) items are unambiguous."""
+    return tuple(sorted((k, int(v)) for k, v in genome.items()))
+
+
 def pick_genomes(n: int):
     """Deterministic diverse slice: spread over buckets, depths and flags
     (every gene takes multiple values across the slice)."""
@@ -189,7 +197,7 @@ def main(argv=None) -> int:
     if os.path.exists(args.partial):
         with open(args.partial) as f:
             for r in json.load(f):
-                done[(r["template"], r["gi"], r["seed"])] = r
+                done[(r["template"], _gkey(r["genome"]), r["seed"])] = r
         print(f"resuming: {len(done)} keras fits already in {args.partial}",
               flush=True)
 
@@ -200,13 +208,13 @@ def main(argv=None) -> int:
             )
             for gi, g in enumerate(genomes):
                 for seed in seeds:
-                    if (template, gi, seed) in done:
+                    if (template, _gkey(g), seed) in done:
                         continue
                     k = keras_eval(
                         build_model, g, data, args.epochs, args.batch_size,
                         args.patience, seed,
                     )
-                    done[(template, gi, seed)] = {
+                    done[(template, _gkey(g), seed)] = {
                         "template": template, "gi": gi, "seed": seed,
                         "genome": g, "keras": k,
                     }
@@ -226,8 +234,8 @@ def main(argv=None) -> int:
 
     # --- phase 2: this engine, same genomes/seeds ---
     missing = [
-        (t, gi, s) for t in ("A", "B") for gi in range(len(genomes))
-        for s in seeds if (t, gi, s) not in done
+        (t, gi, s) for t in ("A", "B") for gi, g in enumerate(genomes)
+        for s in seeds if (t, _gkey(g), s) not in done
     ]
     if missing:
         raise SystemExit(
@@ -245,7 +253,7 @@ def main(argv=None) -> int:
         ev = PopulationEvaluator(data, cfg)
         for gi, g in enumerate(genomes):
             for seed in seeds:
-                k = done[(template, gi, seed)]["keras"]
+                k = done[(template, _gkey(g), seed)]["keras"]
                 t0 = time.perf_counter()
                 acc, size, fpr = ev.evaluate([g], seed=seed)[0]
                 ours = {

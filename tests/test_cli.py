@@ -47,11 +47,46 @@ def test_cli_fake_run_and_resume(tmp_path, capsys):
     assert (run_dir / "checkpoint.json").exists()
     ck = json.loads((run_dir / "checkpoint.json").read_text())
     assert ck["generation"] == 2
+    from cmoop_audio_processing_tpu.utils.xlsx import read_xlsx, sheet_names
+
+    wb = str(run_dir / "all_generations.xlsx")
+    assert sheet_names(wb) == ["Gen_0", "Gen_1", "Gen_2"]
     # resume with a longer horizon continues from gen 3
     assert cli_main(argv[:2] + ["5"] + argv[3:] + ["--resume"],
                     preset="acc_fpr_nsga_1") == 0
     ck2 = json.loads((run_dir / "checkpoint.json").read_text())
     assert ck2["generation"] == 4
+    # pre-resume generations survive in the workbook (a resumed run used to
+    # rewrite it with only the post-resume sheets, renumbered from Gen_0)
+    assert sheet_names(wb) == [f"Gen_{i}" for i in range(5)]
+    rows_gen1 = read_xlsx(wb, "Gen_1")
+    assert len(rows_gen1) == 6 and set(rows_gen1["Generation"]) == {1}
+    combined = pd.read_csv(run_dir / "all_generations.csv")
+    assert sorted(set(combined["Generation"])) == [0, 1, 2, 3, 4]
+
+
+def test_cli_resume_of_completed_run_keeps_artifacts(tmp_path):
+    """--resume on an already-finished run (checkpoint at the last
+    generation, loop body skipped) must re-emit the SAME artifacts, not
+    clobber the workbook with an empty sheet."""
+    from cmoop_audio_processing_tpu.utils.xlsx import read_xlsx, sheet_names
+
+    argv = ["--fake-eval", "--max-gen", "3", "--pop-size", "6",
+            "--out", str(tmp_path), "--seed", "2"]
+    assert cli_main(argv, preset="acc_size_nsga_1") == 0
+    run_dir = tmp_path / "acc_size_nsga_1"
+    wb = str(run_dir / "all_generations.xlsx")
+    before = {s: read_xlsx(wb, s) for s in sheet_names(wb)}
+    assert any(len(df) for df in before.values())  # non-trivial workbook
+    final_before = (run_dir / "final_pareto.csv").read_bytes()
+    assert cli_main(argv + ["--resume"], preset="acc_size_nsga_1") == 0
+    assert sheet_names(wb) == list(before)
+    for s, df in before.items():
+        pd.testing.assert_frame_equal(read_xlsx(wb, s), df)
+    assert (run_dir / "final_pareto.csv").read_bytes() == final_before
+    # the suffixed reference-name alias follows the canonical file
+    alias = str(run_dir / "all_generations_2_obj.xlsx")
+    assert sheet_names(alias) == list(before)
 
 
 def test_cli_mobo_preset(tmp_path):

@@ -169,6 +169,54 @@ def test_mobo_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "mobo_test" / "mobo_iteration_4.csv")
 
 
+def test_mobo_periodic_gate_is_single_knob(tmp_path):
+    """MoboConfig.periodic_save_every is the schedule of record: saves must
+    not be silently re-gated by the reporter's (EA-oriented) periodic_every
+    when the two knobs disagree."""
+    cfg = MoboConfig(
+        initial_samples=4, max_iterations=4, candidate_batch=50,
+        constraints=CONS, seed=2, periodic_save_every=2,
+    )
+    reporter = RunReporter(str(tmp_path), "mobo_gate", periodic_every=5)
+    run_mobo(cfg, FakeEvaluator(), reporter)
+    assert os.path.exists(tmp_path / "mobo_gate" / "mobo_iteration_2.csv")
+    assert os.path.exists(tmp_path / "mobo_gate" / "mobo_iteration_4.csv")
+
+
+def test_mobo_checkpoint_resume_rebuilds_sheets(tmp_path):
+    """A resumed MOBO run must reproduce the uninterrupted run exactly —
+    including the per-iteration workbook sheets for iterations completed
+    BEFORE the resume (each sheet is an archive snapshot, reconstructible
+    from the restored archive)."""
+    from cmoop_audio_processing_tpu.utils.xlsx import read_xlsx, sheet_names
+
+    def mk_cfg(iters):
+        return MoboConfig(
+            initial_samples=5, max_iterations=iters, candidate_batch=50,
+            constraints=CONS, seed=4,
+        )
+
+    pareto_full, dfs_full = run_mobo(mk_cfg(4), FakeEvaluator())
+
+    ck = str(tmp_path / "ck.json")
+    run_mobo(mk_cfg(2), FakeEvaluator(), checkpoint_path=ck)
+    reporter = RunReporter(str(tmp_path), "mobo_resume")
+    pareto_res, dfs_res = run_mobo(
+        mk_cfg(4), FakeEvaluator(), reporter, checkpoint_path=ck
+    )
+
+    assert [p["hparams"] for p in pareto_res] == [
+        p["hparams"] for p in pareto_full
+    ]
+    assert len(dfs_res) == len(dfs_full) == 4
+    for a, b in zip(dfs_res, dfs_full):
+        pd.testing.assert_frame_equal(a, b)
+    wb = str(tmp_path / "mobo_resume" / "all_generations.xlsx")
+    assert sheet_names(wb) == [f"Gen_{i}" for i in range(4)]
+    # the pre-resume iterations' sheets carry the right archive prefixes
+    assert len(read_xlsx(wb, "Gen_0")) == 6 and len(read_xlsx(wb, "Gen_3")) == 9
+
+
 def test_nsga2_checkpoint_resume_exact(tmp_path):
     """Resumed runs must continue the exact RNG/selection sequence: a run
     interrupted at gen 3 and resumed matches an uninterrupted run."""

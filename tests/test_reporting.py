@@ -44,6 +44,31 @@ def test_reporter_generation_schema(tmp_path):
     assert (df["Generation"] == 0).all()
 
 
+def test_reporter_resume_restores_generations(tmp_path):
+    """A reporter opened with resume=True reloads the generations a previous
+    process flushed (via the combined CSV), and a re-recorded generation —
+    the crash-between-flush-and-checkpoint case — supersedes its old rows
+    and anything after them."""
+    rep = RunReporter(str(tmp_path), "t")
+    rep.record_generation(0, _pop(5))
+    rep.record_generation(1, _pop(4))
+    rep.record_generation(2, _pop(3))
+
+    rep2 = RunReporter(str(tmp_path), "t", resume=True)
+    assert [len(df) for df in rep2.gen_dfs] == [5, 4, 3]
+    # checkpoint was at gen 0 -> the resumed loop re-runs gen 1
+    df = rep2.record_generation(1, _pop(2))
+    assert [len(d) for d in rep2.gen_dfs] == [5, 2]
+    assert (df["Generation"] == 1).all()
+    combined = pd.read_csv(tmp_path / "t" / "all_generations.csv")
+    assert sorted(set(combined["Generation"])) == [0, 1]
+
+    # a FRESH (non-resume) reporter into the same dir starts clean
+    rep3 = RunReporter(str(tmp_path), "t")
+    assert rep3.gen_dfs == []
+    assert not os.path.exists(tmp_path / "t" / "all_generations.csv")
+
+
 def test_reporter_periodic_and_final(tmp_path):
     rep = RunReporter(str(tmp_path), "t", periodic_every=2)
     assert rep.periodic_pareto(0, _pop()) is None  # gen 0: (0+1) % 2 != 0

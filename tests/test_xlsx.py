@@ -87,7 +87,72 @@ def test_roundtrip_fuzz_unicode_and_extremes(tmp_path):
         back = read_xlsx(path, "S")
         assert back["t"].fillna("").tolist() == text
         assert back["f"].tolist() == list(floats)
-        assert back["i"].tolist() == list(ints)
+        # exact-int comparison: values near 2**62 exceed float53 precision,
+        # so the read side must parse them via int(), not float()
+        assert [int(v) for v in back["i"]] == [int(v) for v in ints]
+
+
+def test_roundtrip_large_ints_exact(tmp_path):
+    """Integers beyond 2**53 must survive bitwise — float parsing would
+    silently round them to the nearest representable double."""
+    vals = [2**62 + 1, -(2**62 + 3), 2**53 + 1, 10**19]
+    df = pd.DataFrame({"i": vals})
+    path = str(tmp_path / "big.xlsx")
+    write_xlsx(path, df)
+    back = read_xlsx(path)
+    assert [int(v) for v in back["i"]] == vals
+    assert all(int(v) - ref == 0 for v, ref in zip(back["i"], vals))
+
+
+def test_roundtrip_mixed_dtype_frame_keeps_int_columns_exact(tmp_path):
+    """A frame mixing float and int columns must keep the int column exact:
+    the writer iterates rows with per-column dtypes (df.itertuples), because
+    df.values would upcast the whole frame to float64 and round ints beyond
+    2**53 before they ever reach the cell serializer."""
+    df = pd.DataFrame({
+        "f": [float("inf"), 0.5, float("nan")],
+        "i": [2**62 + 1, -(2**62 + 3), 7],
+        "s": ["a", "b", "c"],
+    })
+    path = str(tmp_path / "mixed.xlsx")
+    write_xlsx(path, df)
+    back = read_xlsx(path)
+    assert [int(v) for v in back["i"]] == [2**62 + 1, -(2**62 + 3), 7]
+    assert back["f"].iloc[0] == float("inf") and back["f"].iloc[1] == 0.5
+    assert pd.isna(back["f"].iloc[2])
+    assert back["s"].tolist() == ["a", "b", "c"]
+
+
+def test_roundtrip_infinities_spec_conformant(tmp_path):
+    """Non-finite floats serialize as the xsd:double spellings INF/-INF
+    (Python's 'inf' repr is not valid OOXML) and read back as infinities."""
+    df = pd.DataFrame({"f": [float("inf"), float("-inf"), 1.5]})
+    path = str(tmp_path / "inf.xlsx")
+    write_xlsx(path, df)
+    with zipfile.ZipFile(path) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>INF</v>" in sheet and "<v>-INF</v>" in sheet
+    assert "<v>inf</v>" not in sheet
+    back = read_xlsx(path)
+    assert back["f"].tolist() == [float("inf"), float("-inf"), 1.5]
+
+
+def test_sheet_names_default_for_nameless_sheet(tmp_path):
+    """A <sheet> element without a name attribute gets Sheet{position}
+    counted over SHEETS, not over every XML element in the workbook part."""
+    path = str(tmp_path / "nameless.xlsx")
+    write_xlsx(path, [("X", pd.DataFrame({"a": [1]}))])
+    import re as _re
+
+    with zipfile.ZipFile(path) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    parts["xl/workbook.xml"] = _re.sub(
+        rb'name="X" ', b"", parts["xl/workbook.xml"]
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    assert sheet_names(path) == ["Sheet1"]
 
 
 def test_sheet_name_with_quotes_and_angles(tmp_path):
