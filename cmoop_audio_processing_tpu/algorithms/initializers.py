@@ -86,6 +86,8 @@ def psi_init(
     way, matching psi_merge's skip behavior for the identical inputs."""
     import sys
     import zipfile
+    import zlib
+    from xml.etree.ElementTree import ParseError
 
     try:
         if seed_file.endswith((".xlsx", ".xls")):
@@ -101,7 +103,10 @@ def psi_init(
     except FileNotFoundError:
         print(f"Error: The file '{seed_file}' was not found.", file=sys.stderr)
         return []
-    except (ValueError, KeyError, zipfile.BadZipFile) as exc:
+    except (ValueError, KeyError, zipfile.BadZipFile, ParseError,
+            zlib.error) as exc:
+        # ParseError covers a valid zip with torn/malformed sheet XML,
+        # zlib.error a corrupted deflate stream — neither is a ValueError
         print(
             f"Error: The file '{seed_file}' could not be read ({exc}).",
             file=sys.stderr,
@@ -109,24 +114,34 @@ def psi_init(
         return []
 
     pop: List[Individual] = []
-    for _, r in df.iterrows():
-        g: Genome = {}
-        for gene in GENE_ORDER:
-            opts = HPARAM_SPACE[gene]
-            if isinstance(opts[0], bool):
-                g[gene] = bool(r[gene])
-            else:
-                g[gene] = int(r[gene])
-        pop.append(
-            make_individual(
-                g,
-                float(r["Accuracy"]),
-                float(r["Size_MB"]),
-                float(r["FPR"]),
-                constraints,
-                objectives,
+    try:
+        for _, r in df.iterrows():
+            g: Genome = {}
+            for gene in GENE_ORDER:
+                opts = HPARAM_SPACE[gene]
+                if isinstance(opts[0], bool):
+                    g[gene] = bool(r[gene])
+                else:
+                    g[gene] = int(r[gene])
+            pop.append(
+                make_individual(
+                    g,
+                    float(r["Accuracy"]),
+                    float(r["Size_MB"]),
+                    float(r["FPR"]),
+                    constraints,
+                    objectives,
+                )
             )
+            if limit is not None and len(pop) >= limit:
+                break
+    except (KeyError, ValueError, TypeError) as exc:
+        # readable workbook, wrong schema (e.g. a ranked_MOBO.xlsx with no
+        # genome columns): same clean no-op as an unreadable file
+        print(
+            f"Error: The file '{seed_file}' is not a stage-1 Pareto export "
+            f"({exc}).",
+            file=sys.stderr,
         )
-        if limit is not None and len(pop) >= limit:
-            break
+        return []
     return pop

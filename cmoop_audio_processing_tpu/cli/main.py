@@ -148,10 +148,13 @@ def make_evaluator(cfg: ExperimentConfig, fake: bool, mesh_devices: int = 0,
     )
 
 
-def _emit_artifact_aliases(run_dir: str, suffix: Optional[str]) -> None:
+def _emit_artifact_aliases(reporter, suffix: Optional[str]) -> None:
     """Copy the canonical final artifacts under the reference script's
     literal names (ExperimentConfig.artifact_suffix: final_pareto_<suffix>
-    .csv / all_generations_<suffix>.xlsx, e.g. sa_nsga_penalty.py:647,664)."""
+    .csv / all_generations_<suffix>.xlsx, e.g. sa_nsga_penalty.py:647,664).
+    Only artifacts THIS run wrote are aliased — a no-op run (e.g. empty PSI
+    init) must not re-publish a previous run's stale files under fresh
+    timestamps."""
     if not suffix:
         return
     import shutil
@@ -160,9 +163,9 @@ def _emit_artifact_aliases(run_dir: str, suffix: Optional[str]) -> None:
         ("final_pareto.csv", f"final_pareto_{suffix}.csv"),
         ("all_generations.xlsx", f"all_generations_{suffix}.xlsx"),
     ):
-        src = os.path.join(run_dir, canonical)
-        if os.path.exists(src):
-            shutil.copy(src, os.path.join(run_dir, alias))
+        src = os.path.join(reporter.dir, canonical)
+        if canonical in reporter.artifacts_written and os.path.exists(src):
+            shutil.copy(src, os.path.join(reporter.dir, alias))
 
 
 def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
@@ -170,10 +173,10 @@ def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
 
     reporter = RunReporter(
         cfg.output_dir, cfg.name,
-        # MOBO's periodic schedule lives on its own config (mobo_penalty.py
-        # saves every N ITERATIONS); the EA drivers gate on the reporter
-        periodic_every=(cfg.mobo.periodic_save_every if cfg.algorithm == "mobo"
-                        else cfg.search.periodic_save_every),
+        # MOBO gates its own schedule (mobo.py passes force=True with
+        # cfg.mobo.periodic_save_every), so the reporter's gate only ever
+        # applies to the EA drivers
+        periodic_every=cfg.search.periodic_save_every,
         resume=resume,
     )
     ck = os.path.join(reporter.dir, "checkpoint.json")
@@ -196,7 +199,7 @@ def run(cfg: ExperimentConfig, evaluator, resume: bool = False):
         result = run_mobo(cfg.mobo, evaluator, reporter, checkpoint_path=ck)
     else:
         raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
-    _emit_artifact_aliases(reporter.dir, cfg.artifact_suffix)
+    _emit_artifact_aliases(reporter, cfg.artifact_suffix)
     return result
 
 

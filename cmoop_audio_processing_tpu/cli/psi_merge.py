@@ -42,6 +42,8 @@ def merge(paths, dedup: bool = False, limit: int | None = None,
     merge is unspecified; balanced selection keeps the 2-stage seed diverse
     when the stage-2 population is smaller than the union)."""
     import zipfile
+    import zlib
+    from xml.etree.ElementTree import ParseError as ETParseError
 
     def read_front(path: str) -> "pd.DataFrame | None":
         if not path.endswith((".xlsx", ".xls")):
@@ -61,9 +63,12 @@ def merge(paths, dedup: bool = False, limit: int | None = None,
             # empty CSV — pandas raises; Excel paths signal emptiness
             # differently (below)
             df = None
-        except (ValueError, KeyError, zipfile.BadZipFile):
+        except (ValueError, KeyError, zipfile.BadZipFile, ETParseError,
+                zlib.error):
             # zero-byte or corrupt .xlsx: treat like the empty-CSV case so
-            # one bad stage-1 export degrades to a skip, not a crash
+            # one bad stage-1 export degrades to a skip, not a crash.
+            # ParseError = valid zip, torn sheet XML; zlib.error = corrupted
+            # deflate stream — neither is a ValueError subclass
             df = None
         if df is None or len(df.columns) == 0:
             # An infeasible stage-1 run exports an empty front (the reference

@@ -55,6 +55,9 @@ class RunReporter:
         self.periodic_every = periodic_every
         self.gen_dfs: List[pd.DataFrame] = []
         self._gen_ids: List[int] = []
+        # basenames of final artifacts THIS process wrote — the alias step
+        # must not re-alias a previous run's stale files after a no-op run
+        self.artifacts_written: set = set()
         self._combined_path = os.path.join(self.dir, "all_generations.csv")
         self._log_path = os.path.join(self.dir, "progress.jsonl")
         self._t0 = time.perf_counter()
@@ -145,6 +148,7 @@ class RunReporter:
         pd.DataFrame(
             [pareto_row(ind, include_cv) for ind in pareto_set]
         ).to_csv(path, index=False)
+        self.artifacts_written.add(filename)
         self.log("final_pareto", n=len(pareto_set), path=path)
         return path
 
@@ -164,6 +168,7 @@ class RunReporter:
 
             sheets = [(f"Gen_{i}", df) for i, df in enumerate(self.gen_dfs)]
             write_xlsx(path, sheets or [("Gen_0", pd.DataFrame())])
+        self.artifacts_written.add(filename)
         self._flush_combined()
         return path
 

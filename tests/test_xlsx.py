@@ -322,3 +322,57 @@ def test_reporter_all_generations_writes_real_workbook(tmp_path):
     # the combined CSV twin still exists for grep-ability
     combined = pd.read_csv(str(tmp_path / "run" / "all_generations.csv"))
     assert len(combined) == 2
+
+
+def _tear_sheet_xml(src: str, dst: str) -> None:
+    """Rewrite a valid workbook with its sheet1.xml member truncated mid-tag:
+    the zip container stays valid, the XML does not."""
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for info in zin.infolist():
+            data = zin.read(info.filename)
+            if info.filename == "xl/worksheets/sheet1.xml":
+                data = data[: len(data) // 2]
+            zout.writestr(info.filename, data)
+
+
+def test_psi_init_torn_sheet_xml_clean_exit(tmp_path, capsys):
+    """A workbook whose zip is intact but whose sheet XML is truncated (torn
+    write) raises xml ParseError, not ValueError — it must take the same
+    clean no-op path as a corrupt zip."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+
+    good = tmp_path / "good.xlsx"
+    write_xlsx(str(good), _front(all_genomes()[:3], 0.91))
+    torn = tmp_path / "Final.xlsx"
+    _tear_sheet_xml(str(good), str(torn))
+    pop = psi_init(str(torn), Constraints(0.9, 2.5, 0.09))
+    assert pop == []
+    assert "could not be read" in capsys.readouterr().err
+
+
+def test_psi_init_wrong_schema_clean_exit(tmp_path, capsys):
+    """A readable workbook that is not a stage-1 Pareto export (e.g. a
+    ranked_MOBO.xlsx with no genome columns) must no-op with a message, not
+    crash with KeyError in the row loop."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+
+    wrong = tmp_path / "ranked.xlsx"
+    write_xlsx(str(wrong), pd.DataFrame({"rank": [1, 2], "score": [0.1, 0.2]}))
+    pop = psi_init(str(wrong), Constraints(0.9, 2.5, 0.09))
+    assert pop == []
+    assert "not a stage-1 Pareto export" in capsys.readouterr().err
+
+
+def test_psi_merge_skips_torn_sheet_xml(tmp_path, capsys):
+    from cmoop_audio_processing_tpu.cli.psi_merge import merge
+
+    gs = all_genomes()
+    good_csv = tmp_path / "good.csv"
+    _front(gs[:2], 0.91).to_csv(good_csv, index=False)
+    good_x = tmp_path / "good.xlsx"
+    write_xlsx(str(good_x), _front(gs[3:4], 0.93))
+    torn = tmp_path / "torn.xlsx"
+    _tear_sheet_xml(str(good_x), str(torn))
+    df = merge([str(torn), str(good_csv)])
+    assert len(df) == 2
+    assert "skipping" in capsys.readouterr().err
