@@ -83,39 +83,43 @@ def psi_init(
     Final.xlsx (psi_mobo_2.py:365-369: print the error, return empty
     results); the drivers treat an empty PSI init as a no-op run. A
     zero-byte or corrupt workbook (torn stage-1 export) is handled the same
-    way, matching psi_merge's skip behavior for the identical inputs."""
+    way — all parse failures, including Excel-engine-specific exception
+    types, arrive normalized as UnreadableTableError (utils/xlsx.read_table,
+    the shared reader with cli/psi_merge). Schema is validated up front
+    against the same REQUIRED column set psi_merge enforces; after that, a
+    malformed VALUE in one row (e.g. NaN in a gene column) skips that row
+    with a warning instead of discarding the whole partial population."""
     import sys
-    import zipfile
-    import zlib
-    from xml.etree.ElementTree import ParseError
+
+    from ..cli.psi_merge import REQUIRED
+    from ..utils.xlsx import UnreadableTableError, read_table
 
     try:
-        if seed_file.endswith((".xlsx", ".xls")):
-            try:
-                df = pd.read_excel(seed_file)
-            except ImportError:
-                # no Excel engine in the image: stdlib OOXML reader
-                from ..utils.xlsx import read_xlsx
-
-                df = read_xlsx(seed_file)
-        else:
-            df = pd.read_csv(seed_file)
+        df = read_table(seed_file)
     except FileNotFoundError:
         print(f"Error: The file '{seed_file}' was not found.", file=sys.stderr)
         return []
-    except (ValueError, KeyError, zipfile.BadZipFile, ParseError,
-            zlib.error) as exc:
-        # ParseError covers a valid zip with torn/malformed sheet XML,
-        # zlib.error a corrupted deflate stream — neither is a ValueError
+    except UnreadableTableError as exc:
         print(
             f"Error: The file '{seed_file}' could not be read ({exc}).",
             file=sys.stderr,
         )
         return []
 
+    missing = [c for c in REQUIRED if c not in df.columns]
+    if missing:
+        # readable table, wrong schema (e.g. a ranked_MOBO.xlsx with no
+        # genome columns): same clean no-op as an unreadable file
+        print(
+            f"Error: The file '{seed_file}' is not a stage-1 Pareto export "
+            f"(missing columns {missing}).",
+            file=sys.stderr,
+        )
+        return []
+
     pop: List[Individual] = []
-    try:
-        for _, r in df.iterrows():
+    for ridx, r in df.iterrows():
+        try:
             g: Genome = {}
             for gene in GENE_ORDER:
                 opts = HPARAM_SPACE[gene]
@@ -123,25 +127,22 @@ def psi_init(
                     g[gene] = bool(r[gene])
                 else:
                     g[gene] = int(r[gene])
-            pop.append(
-                make_individual(
-                    g,
-                    float(r["Accuracy"]),
-                    float(r["Size_MB"]),
-                    float(r["FPR"]),
-                    constraints,
-                    objectives,
-                )
+            ind = make_individual(
+                g,
+                float(r["Accuracy"]),
+                float(r["Size_MB"]),
+                float(r["FPR"]),
+                constraints,
+                objectives,
             )
-            if limit is not None and len(pop) >= limit:
-                break
-    except (KeyError, ValueError, TypeError) as exc:
-        # readable workbook, wrong schema (e.g. a ranked_MOBO.xlsx with no
-        # genome columns): same clean no-op as an unreadable file
-        print(
-            f"Error: The file '{seed_file}' is not a stage-1 Pareto export "
-            f"({exc}).",
-            file=sys.stderr,
-        )
-        return []
+        except (KeyError, ValueError, TypeError) as exc:
+            print(
+                f"Warning: skipping malformed row {ridx} of '{seed_file}' "
+                f"({exc}).",
+                file=sys.stderr,
+            )
+            continue
+        pop.append(ind)
+        if limit is not None and len(pop) >= limit:
+            break
     return pop

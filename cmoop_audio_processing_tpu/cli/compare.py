@@ -27,10 +27,11 @@ import pandas as pd
 
 
 def load_front(path: str) -> np.ndarray:
-    if path.endswith((".xlsx", ".xls")):
-        df = pd.read_excel(path)
-    else:
-        df = pd.read_csv(path)
+    # read_table: stdlib fallback when no Excel engine exists (this image),
+    # every parse failure normalized to one loud UnreadableTableError
+    from ..utils.xlsx import read_table
+
+    df = read_table(path)
     cols = ["Accuracy", "Size_MB", "FPR"]
     missing = [c for c in cols if c not in df.columns]
     if missing:

@@ -41,34 +41,18 @@ def merge(paths, dedup: bool = False, limit: int | None = None,
     front rather than exhausting the first file (the reference's manual
     merge is unspecified; balanced selection keeps the 2-stage seed diverse
     when the stage-2 population is smaller than the union)."""
-    import zipfile
-    import zlib
-    from xml.etree.ElementTree import ParseError as ETParseError
-
-    def read_front(path: str) -> "pd.DataFrame | None":
-        if not path.endswith((".xlsx", ".xls")):
-            return pd.read_csv(path)
-        try:
-            return pd.read_excel(path)
-        except ImportError:
-            from ..utils.xlsx import read_xlsx
-
-            return read_xlsx(path)
+    from ..utils.xlsx import UnreadableTableError, read_table
 
     frames = []
     for path in paths:
         try:
-            df = read_front(path)
-        except pd.errors.EmptyDataError:
-            # empty CSV — pandas raises; Excel paths signal emptiness
-            # differently (below)
-            df = None
-        except (ValueError, KeyError, zipfile.BadZipFile, ETParseError,
-                zlib.error):
-            # zero-byte or corrupt .xlsx: treat like the empty-CSV case so
-            # one bad stage-1 export degrades to a skip, not a crash.
-            # ParseError = valid zip, torn sheet XML; zlib.error = corrupted
-            # deflate stream — neither is a ValueError subclass
+            df = read_table(path)
+        except UnreadableTableError:
+            # Zero-byte/corrupt workbook, torn sheet XML, empty CSV, or an
+            # engine-specific parse error — read_table normalizes them all,
+            # so one bad stage-1 export degrades to a skip, not a crash
+            # (a missing file still raises: that is a caller typo, not a
+            # degraded export).
             df = None
         if df is None or len(df.columns) == 0:
             # An infeasible stage-1 run exports an empty front (the reference

@@ -290,3 +290,34 @@ def read_xlsx(path: str, sheet: Union[int, str] = 0) -> pd.DataFrame:
     # mirror read_excel's dtype inference: all-numeric object columns become
     # numeric dtypes (cells arrive typed from _cell_value already)
     return df.infer_objects()
+
+
+class UnreadableTableError(Exception):
+    """A front/seed table exists but cannot be parsed — zero-byte file, torn
+    sheet XML, corrupted deflate stream, wrong format, or an engine-specific
+    parse error (e.g. lxml's XMLSyntaxError under openpyxl, which is a
+    SyntaxError subclass and escapes naive (ValueError, ...) envelopes)."""
+
+
+def read_table(path: str) -> pd.DataFrame:
+    """Read a .xlsx/.xls/.csv front or seed table into a DataFrame.
+
+    The single reader for every PSI-pipeline input (initializers.psi_init,
+    cli/psi_merge, algorithms/mobo): FileNotFoundError propagates unchanged
+    (callers distinguish 'missing' from 'corrupt'), and EVERY other read or
+    parse failure — whichever engine raised it and whatever its type — is
+    normalized to UnreadableTableError, so callers need exactly two except
+    clauses and can never crash on an engine-specific exception type."""
+    is_excel = path.endswith((".xlsx", ".xls"))
+    try:
+        if is_excel:
+            try:
+                return pd.read_excel(path)
+            except ImportError:
+                # no Excel engine in the image: stdlib OOXML reader above
+                return read_xlsx(path)
+        return pd.read_csv(path)
+    except FileNotFoundError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — deliberate normalization
+        raise UnreadableTableError(f"{type(exc).__name__}: {exc}") from exc

@@ -165,6 +165,50 @@ def test_adaptive_auto_matches_oneshot(data):
     )
 
 
+@pytest.mark.parametrize("impl", ["grouped", "vmap"])
+def test_run_full_matches_explicit_chain(data, impl):
+    """Direct pin: the fused one-shot bucket program (trainer.run_full —
+    in-program genome-keyed init + epoch while_loop + restore-best metrics
+    in ONE launch) returns bitwise-identical fitness to the explicit chain
+    (host-side init_population_device -> trainer.train). Previously this
+    was covered only transitively through compaction==one-shot's tolerance;
+    a fused-path regression below that tolerance could hide. Targets the
+    bit-for-bit claim at engine/evaluator.py (_run_bucket: 'matching
+    _init_bucket_population's host-side folding bit for bit')."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    genomes = [dict(g, use_dropout=True) for g in GENOMES]
+    cfg = dataclasses.replace(_cfg(0), parallel_impl=impl)
+    ev = PopulationEvaluator(data, cfg)
+    spec = ev._bucket_spec(16, 3, 3)
+    trainer = ev._get_trainer(spec, len(genomes))
+    seed = 3
+    cap = jnp.asarray(cfg.epochs, jnp.int32)
+
+    # explicit chain: whole-population init on host, then the params-in path
+    params, state, flags, train_key = ev._init_bucket_population(
+        spec, genomes, seed
+    )
+    chain = trainer.train(
+        params, state, flags, *ev._train, *ev._val, train_key
+    )
+
+    # fused single-launch path: init happens INSIDE the program from uids
+    from cmoop_audio_processing_tpu.models.supernet import stack_flags
+
+    base_key = jax.random.key(seed)
+    fused = trainer.run_full(
+        stack_flags(genomes), *ev._train, *ev._val,
+        base_key, jax.random.fold_in(base_key, 1), cap,
+    )
+    assert set(fused) == set(chain)
+    for k in fused:
+        np.testing.assert_array_equal(
+            np.asarray(fused[k]), np.asarray(chain[k]), err_msg=k
+        )
+
+
 def test_training_invariant_to_population_composition(data):
     """A genome's fitness is a function of (genome, seed, dataset) alone:
     evaluating it alone or inside a population of different genomes gives

@@ -296,6 +296,75 @@ def test_population_evaluator_data_mesh_matches_no_mesh():
     )
 
 
+_COLLECTIVE_RE = (
+    r"all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all"
+)
+
+
+def test_sharded_train_path_has_no_collectives():
+    """PERF.md's scaling claim — 'the pop axis shards over chips with ZERO
+    training-path collectives' — as a compiled-HLO assertion instead of
+    prose (round-3 verdict #4a): the optimized SPMD program for the
+    shard_map'd fused bucket launch must contain no all-reduce/all-gather/
+    collective-permute/reduce-scatter/all-to-all. And in the OTHER
+    direction, the data>1 GSPMD path MUST contain the gradient all-reduce
+    (psum over the 'data' axis) — proving the assertion would catch
+    collectives if they were there."""
+    import re
+
+    import jax.numpy as jnp
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.core.genome import all_genomes
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+    from cmoop_audio_processing_tpu.models.supernet import stack_flags
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=32, synthetic_eval=16, time_steps=12,
+                   features=8, num_classes=4)
+    )
+    cfg = TrainConfig(
+        epochs=2, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32",
+    )
+    genomes = [g for g in all_genomes()
+               if g["filters"] == 16 and g["kernel_size"] == 3][:8]
+
+    # pop-sharded grouped shard_map path: zero collectives
+    ev = PopulationEvaluator(data, cfg, mesh=population_mesh(8, 1))
+    spec = ev._bucket_spec(16, 3, max(g["residual_blocks"] for g in genomes))
+    fn = ev._get_sharded_run_full(spec, 8)
+    base_key = jax.random.key(0)
+    cap = jnp.asarray(2, jnp.int32)
+    hlo = fn.lower(
+        stack_flags(genomes), *ev._train, *ev._val,
+        base_key, jax.random.fold_in(base_key, 1), cap,
+    ).compile().as_text()
+    found = sorted(set(re.findall(_COLLECTIVE_RE, hlo)))
+    assert not found, (
+        f"training-path program contains collectives {found}; the "
+        "linear-scaling claim (PERF.md) no longer holds"
+    )
+
+    # data-sharded GSPMD path: the gradient psum MUST be there
+    ev2 = PopulationEvaluator(data, cfg, mesh=population_mesh(4, 2))
+    assert ev2.settings.parallel_impl == "vmap"
+    spec2 = ev2._bucket_spec(16, 3, max(g["residual_blocks"] for g in genomes))
+    genomes4 = genomes[:4]
+    params, state, flags, train_key = ev2._init_bucket_population(
+        spec2, genomes4, 0
+    )
+    trainer = ev2._get_trainer(spec2, 4)
+    carry = trainer.init_carry(params, state, flags)
+    hlo2 = trainer.run_chunk.lower(
+        carry, *ev2._train, *ev2._val, train_key, cap
+    ).compile().as_text()
+    assert re.search(r"all-reduce", hlo2), (
+        "data>1 mesh training program lost its gradient all-reduce — GSPMD "
+        "is no longer reducing over the 'data' axis"
+    )
+
+
 def test_population_evaluator_data_mesh_rejects_bad_batch():
     from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
     from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset

@@ -162,6 +162,24 @@ def test_search_space_options_match(name):
 
 
 @pytest.mark.parametrize("name", sorted(SCRIPTS))
+def test_preset_data_shapes(name):
+    """Each preset's synthetic-fallback data geometry matches its script's
+    dataset: sa_nsga_penalty.py consumes mel_spec.h5 — 11 classes of 5-s
+    clips at 40 mels (sa_nsga_penalty.py:38-102), i.e. 501x40 maps at the
+     16 kHz / hop-160 / centered framing the frontend reproduces; every
+    other script consumes the KWS_10_log_mel_3000 npy dirs (44x13 MFCC-ish
+    maps, 10 classes — nsga_penalty.py:157-173)."""
+    cfg = get_preset(name)
+    d = cfg.data
+    if name == "sa_nsga_penalty":
+        assert (d.num_classes, d.time_steps, d.features) == (11, 501, 40)
+        assert cfg.train.num_classes == 11
+    else:
+        assert (d.num_classes, d.time_steps, d.features) == (10, 44, 13)
+        assert cfg.train.num_classes == 10
+
+
+@pytest.mark.parametrize("name", sorted(SCRIPTS))
 def test_reference_uses_keras_default_adam(name):
     """Every script compiles with optimizer='adam' (string form => Keras
     default lr 1e-3); no script passes its LEARNING_RATE constant to the

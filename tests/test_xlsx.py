@@ -363,6 +363,44 @@ def test_psi_init_wrong_schema_clean_exit(tmp_path, capsys):
     assert "not a stage-1 Pareto export" in capsys.readouterr().err
 
 
+def test_psi_init_malformed_row_skips_only_that_row(tmp_path, capsys):
+    """One malformed VALUE mid-file (NaN in a gene column) must not discard
+    the previously-parsed valid rows or turn the stage-2 run into a no-op:
+    schema is validated up front, then bad rows skip with a warning
+    (round-3 advisor finding, initializers.py row loop)."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+
+    gs = all_genomes()
+    df = _front(gs[:3], 0.91)
+    df.loc[1, "filters"] = float("nan")  # int(NaN) -> ValueError
+    path = tmp_path / "partial.csv"
+    df.to_csv(path, index=False)
+    pop = psi_init(str(path), Constraints(0.9, 2.5, 0.09))
+    assert len(pop) == 2
+    assert [p["hparams"] for p in pop] == [gs[0], gs[2]]
+    err = capsys.readouterr().err
+    assert "skipping malformed row 1" in err
+
+
+def test_psi_init_engine_style_parse_error_is_clean(tmp_path, capsys):
+    """Parse failures are normalized by utils/xlsx.read_table regardless of
+    exception type — the clean no-op contract cannot be broken by an
+    engine-specific error class (e.g. lxml's XMLSyntaxError is a
+    SyntaxError subclass that the old (ValueError, ...) envelope missed)."""
+    from cmoop_audio_processing_tpu.algorithms.initializers import psi_init
+    from cmoop_audio_processing_tpu.utils.xlsx import (
+        UnreadableTableError, read_table,
+    )
+
+    bad = tmp_path / "bad.xlsx"
+    bad.write_bytes(b"PK\x03\x04 definitely not a workbook")
+    with pytest.raises(UnreadableTableError):
+        read_table(str(bad))
+    pop = psi_init(str(bad), Constraints(0.9, 2.5, 0.09))
+    assert pop == []
+    assert "could not be read" in capsys.readouterr().err
+
+
 def test_psi_merge_skips_torn_sheet_xml(tmp_path, capsys):
     from cmoop_audio_processing_tpu.cli.psi_merge import merge
 
