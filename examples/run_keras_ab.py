@@ -52,9 +52,36 @@ def _gkey(genome) -> tuple:
     return tuple(sorted((k, int(v)) for k, v in genome.items()))
 
 
-def pick_genomes(n: int):
+# Search-space boundary cases (VERDICT r3 directive #7): the biggest program
+# XLA will ever specialize for this space, the smallest (every optional layer
+# off), and the two off-diagonal width/depth extremes.
+BOUNDARY_GENOMES = [
+    {"filters": 64, "kernel_size": 5, "use_bn": True,
+     "residual_blocks": 3, "fc_layers": 4, "use_dropout": True},
+    {"filters": 16, "kernel_size": 3, "use_bn": False,
+     "residual_blocks": 1, "fc_layers": 1, "use_dropout": False},
+    {"filters": 64, "kernel_size": 3, "use_bn": False,
+     "residual_blocks": 1, "fc_layers": 4, "use_dropout": False},
+    {"filters": 16, "kernel_size": 5, "use_bn": True,
+     "residual_blocks": 3, "fc_layers": 1, "use_dropout": True},
+]
+
+# The BirdCLEF-shaped (501x40, 11-class) template-B pair: the committed
+# end-to-end run's winning genome (examples/birdclef_e2e/) and a mid-size
+# contrast point — the A/B validates the engine at the reference's hardest
+# shape (sa_nsga_penalty.py:38-102), not just the KWS 44x13 one.
+BIRDCLEF_PAIR = [
+    {"filters": 16, "kernel_size": 3, "use_bn": True,
+     "residual_blocks": 1, "fc_layers": 1, "use_dropout": True},
+    {"filters": 32, "kernel_size": 5, "use_bn": False,
+     "residual_blocks": 2, "fc_layers": 2, "use_dropout": False},
+]
+
+
+def pick_genomes(n: int, include_boundary: bool = True):
     """Deterministic diverse slice: spread over buckets, depths and flags
-    (every gene takes multiple values across the slice)."""
+    (every gene takes multiple values across the slice), plus the
+    search-space boundary genomes appended (dedup by content)."""
     from cmoop_audio_processing_tpu.core.genome import all_genomes
 
     gs = all_genomes()
@@ -69,6 +96,9 @@ def pick_genomes(n: int):
         seen_keys.add(key)
         if g not in chosen:
             chosen.append(g)
+    if include_boundary:
+        have = {_gkey(g) for g in chosen}
+        chosen += [g for g in BOUNDARY_GENOMES if _gkey(g) not in have]
     return chosen
 
 
@@ -152,8 +182,16 @@ def keras_eval(build_model, genome, data, epochs, batch_size, patience, seed):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "keras_ab.json"))
+    p.add_argument("--out", default=None,
+                   help="report path (default: examples/keras_ab.json, or "
+                        "examples/keras_ab_birdclef.json for "
+                        "--dataset birdclef)")
+    p.add_argument("--dataset", choices=["kws", "birdclef"], default="kws",
+                   help="kws: synthetic 44x13 10-class maps, both templates, "
+                        "diverse+boundary genomes. birdclef: a real "
+                        "mel_spec.h5 (501x40, 11 classes; --h5-path), "
+                        "template B only, the BIRDCLEF_PAIR genomes")
+    p.add_argument("--h5-path", default="/tmp/birdclef_h5/mel_spec.h5")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--genomes", type=int, default=8)
@@ -168,10 +206,19 @@ def main(argv=None) -> int:
                    default="both")
     p.add_argument("--backend", choices=["cpu", "tpu"], default="cpu",
                    help="backend for the engine side ('ours')")
-    p.add_argument("--partial", default="/tmp/keras_ab_keras.json",
+    p.add_argument("--partial", default=None,
                    help="keras-phase results file (written by --phase keras, "
-                        "read by --phase ours); also the resume checkpoint")
+                        "read by --phase ours); also the resume checkpoint "
+                        "(default: /tmp/keras_ab_keras[_bc].json)")
     args = p.parse_args(argv)
+    here = os.path.dirname(os.path.abspath(__file__))
+    if args.out is None:
+        args.out = os.path.join(
+            here, "keras_ab.json" if args.dataset == "kws"
+            else "keras_ab_birdclef.json")
+    if args.partial is None:
+        args.partial = ("/tmp/keras_ab_keras.json" if args.dataset == "kws"
+                        else "/tmp/keras_ab_keras_bc.json")
 
     # Default: force the CPU backend — Keras runs on CPU here, and the
     # comparison is about TRAINING SEMANTICS (Adam/early-stop/restore-best/
@@ -187,9 +234,20 @@ def main(argv=None) -> int:
     from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
     from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
 
-    # the bench/exhaustive shape point: GSC-v2-like 44x13 maps, 10 classes
-    data = prepare_dataset(DataConfig(num_classes=10))
-    genomes = pick_genomes(args.genomes)
+    if args.dataset == "kws":
+        # the bench/exhaustive shape point: GSC-v2-like 44x13 maps, 10 classes
+        data = prepare_dataset(DataConfig(num_classes=10))
+        genomes = pick_genomes(args.genomes)
+        templates = ("A", "B")
+        num_classes = 10
+    else:
+        # the reference's hardest shape point: real 501x40 mel maps from the
+        # committed wav->h5 corpus, stratified 50/25/25, template B only
+        # (sa_nsga_penalty.py's own template/geometry)
+        data = prepare_dataset(DataConfig(source="hdf5", path=args.h5_path))
+        genomes = list(BIRDCLEF_PAIR)
+        templates = ("B",)
+        num_classes = int(np.max(data["y_train"])) + 1
     seeds = list(range(args.seeds))
 
     # --- phase 1: the reference's Keras evaluator (resumable checkpoint) ---
@@ -202,9 +260,9 @@ def main(argv=None) -> int:
               flush=True)
 
     if args.phase in ("both", "keras"):
-        for template in ("A", "B"):
+        for template in templates:
             build_model = extract_build_model(
-                template, data["x_train"].shape[1:3], 10
+                template, data["x_train"].shape[1:3], num_classes
             )
             for gi, g in enumerate(genomes):
                 for seed in seeds:
@@ -234,7 +292,7 @@ def main(argv=None) -> int:
 
     # --- phase 2: this engine, same genomes/seeds ---
     missing = [
-        (t, gi, s) for t in ("A", "B") for gi, g in enumerate(genomes)
+        (t, gi, s) for t in templates for gi, g in enumerate(genomes)
         for s in seeds if (t, _gkey(g), s) not in done
     ]
     if missing:
@@ -243,10 +301,11 @@ def main(argv=None) -> int:
             f"{args.partial} (run --phase keras first); first: {missing[0]}"
         )
     results = []
-    for template in ("A", "B"):
+    for template in templates:
         cfg = TrainConfig(
             epochs=args.epochs, batch_size=args.batch_size,
-            patience=args.patience, num_classes=10, template=template,
+            patience=args.patience, num_classes=num_classes,
+            template=template,
             accuracy_from="best", restore_best_weights=True,
             compute_dtype="float32",
         )
@@ -277,9 +336,13 @@ def main(argv=None) -> int:
         "description": (
             "A/B oracle: reference Keras evaluate_individual "
             "(sa_nsga_penalty.py:205-229 semantics, build_model AST-"
-            "extracted at run time) vs engine/ on the shared synthetic "
-            "GSC-v2-shaped dataset"
+            "extracted at run time) vs engine/ on the shared "
+            + ("synthetic GSC-v2-shaped dataset"
+               if args.dataset == "kws" else
+               "501x40 11-class mel_spec.h5 (examples/birdclef_e2e corpus)")
         ),
+        "dataset": args.dataset, "templates": list(templates),
+        "input_shape": list(data["x_train"].shape[1:]),
         "epochs": args.epochs, "seeds": seeds,
         "batch_size": args.batch_size, "patience": args.patience,
         "n_genomes": len(genomes),
