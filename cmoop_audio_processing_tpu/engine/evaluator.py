@@ -81,6 +81,22 @@ class PopulationEvaluator:
             raise ValueError(f"unknown bucket_genes {unknown!r}")
         self.cfg = train_cfg
         self.mesh = mesh
+        # Multi-host mesh (jax.distributed world): operands must be built as
+        # GLOBAL arrays — every process holds the same host value (the data
+        # pipeline and flag construction are deterministic), device_put
+        # against a mesh-wide sharding assembles the jax.Array from each
+        # process's addressable shards, and results come back fully
+        # replicated before np.asarray. Single-process behavior (placement,
+        # program identity, persistent-cache keys) is untouched.
+        self._multiproc = mesh is not None and len(
+            {d.process_index for d in mesh.devices.flat}
+        ) > 1
+        if self._multiproc and int(mesh.shape["data"]) > 1:
+            raise NotImplementedError(
+                "multi-host meshes support data axis == 1 (population "
+                "sharding over processes); shard the batch within a "
+                "process's chips instead"
+            )
         # Population execution under a mesh: grouped-conv lanes CANNOT shard
         # through GSPMD (the pop axis is merged into conv channels), but they
         # compose with the mesh via shard_map — each device group runs the
@@ -125,7 +141,12 @@ class PopulationEvaluator:
             from ..parallel.mesh import batch_sharding
 
             rows = batch_sharding(mesh)
-            place = lambda a: jax.device_put(jnp.asarray(a), rows)  # noqa: E731
+            place = lambda a: jax.device_put(np.asarray(a), rows)  # noqa: E731
+        elif self._multiproc:
+            from ..parallel.mesh import replicated
+
+            rep = replicated(mesh)
+            place = lambda a: jax.device_put(np.asarray(a), rep)  # noqa: E731
         else:
             place = jnp.asarray
         self._train = (place(xtr), place(ytr), place(wtr))
@@ -303,7 +324,7 @@ class PopulationEvaluator:
             durable — called inline per launch under sync dispatch (so a
             worker crash at launch N loses nothing from launches < N), and
             in the overlap pass otherwise (durable per bucket)."""
-            fits = jax.tree.map(np.asarray, fits)
+            fits = jax.tree.map(np.asarray, self._gather_replicated(fits))
             for j, gi in enumerate(chunk_idx):
                 g = genomes[gi]
                 acc, fpr = fits["acc"][j], fits["fpr"][j]
@@ -518,10 +539,20 @@ class PopulationEvaluator:
                 # mesh, data axis 1: the same fused program, shard_map'd so
                 # each device group trains its population shard with the
                 # grouped-conv (or vmap) forward — still one launch
+                if self._multiproc:
+                    # host values -> global operands: flags as numpy (jit
+                    # device_puts them to the 'pop' sharding, each process
+                    # contributing its shards), keys rebuilt as replicated
+                    # global key arrays
+                    flags = jax.tree.map(np.asarray, flags)
+                    base_key = self._replicate_key(base_key)
+                    train_key = self._replicate_key(train_key)
                 out = self._get_sharded_run_full(spec, pop)(
                     flags, xtr, ytr, wtr, xval, yval, wval,
                     base_key, train_key,
-                    jnp.asarray(self.settings.epochs, jnp.int32),
+                    jnp.asarray(self.settings.epochs, jnp.int32)
+                    if not self._multiproc
+                    else np.asarray(self.settings.epochs, np.int32),
                 )
                 self._launch_count += 1
             else:
@@ -612,6 +643,34 @@ class PopulationEvaluator:
         # padding lanes introduced by compaction map to -1; their slots in
         # acc/fpr were never written for an original index, by construction
         return {"acc": acc, "fpr": fpr, "epochs": epochs}
+
+    def _replicate_key(self, key):
+        """Rebuild a host-local PRNG key as a mesh-replicated global key
+        array (multi-host only). Every process derives the identical key
+        from the run seed, so device_put of the raw key data against the
+        replicated sharding is sound; wrap_key_data runs under jit so the
+        typed-key construction itself executes on the global array."""
+        from ..parallel.mesh import replicated
+
+        rep = replicated(self.mesh)
+        data = jax.device_put(np.asarray(jax.random.key_data(key)), rep)
+        return jax.jit(jax.random.wrap_key_data, out_shardings=rep)(data)
+
+    def _gather_replicated(self, tree):
+        """Make launch results host-readable on every process: under a
+        multi-host mesh the 'pop'-sharded outputs are not addressable
+        beyond the local shards, so an identity jit with replicated
+        out_shardings all-gathers them (no-op single-process)."""
+        if not self._multiproc:
+            return tree
+        from ..parallel.mesh import replicated
+
+        rep = replicated(self.mesh)
+        leaves = [x for x in jax.tree.leaves(tree)
+                  if isinstance(x, jax.Array) and not x.is_fully_addressable]
+        if not leaves:
+            return tree
+        return jax.jit(lambda t: t, out_shardings=rep)(tree)
 
     def _shard_population(self, params, state, flags):
         """Shard the population axis over the mesh's 'pop' axis; data stays

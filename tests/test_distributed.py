@@ -28,26 +28,122 @@ WORKER = textwrap.dedent("""
 """)
 
 
-def test_distributed_init_two_process_world(tmp_path):
+def _free_port_addr() -> str:
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     addr = f"127.0.0.1:{port.getsockname()[1]}"
     port.close()
-    script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    return addr
 
+
+def _run_two_process(script_path, tmp_path, extra_env=None, timeout=300):
+    addr = _free_port_addr()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), addr],
+            [sys.executable, str(script_path), str(pid), addr],
             env=env, cwd="/root/repo",
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=300) for p in procs]
+    outs = [p.communicate(timeout=timeout) for p in procs]
     for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-2000:]
+        assert p.returncode == 0, (out[-2000:], err[-4000:])
+    return outs
+
+
+def test_distributed_init_two_process_world(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    outs = _run_two_process(script, tmp_path)
     assert "proc0 OK" in outs[0][0]
     assert "proc1 OK" in outs[1][0]
+
+
+# The actual workload across a process boundary (VERDICT r3 directive #5):
+# a 4-genome bucket's fused run_full, shard_map'd over a 2-process x
+# 2-devices-per-process ('pop'=4) mesh — population sharded ACROSS the
+# jax.distributed world, dataset replicated, results all-gathered. Both
+# processes must see the full fitness vector, and it must be BITWISE equal
+# to the same 4x1 mesh run in one process: the per-device shard programs
+# are identical, so crossing the process boundary may not change a bit.
+TRAIN_WORKER = textwrap.dedent("""
+    import os
+    import sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from cmoop_audio_processing_tpu.parallel.mesh import (
+        distributed_init, population_mesh,
+    )
+    pid = int(sys.argv[1])
+    distributed_init(sys.argv[2], num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and jax.device_count() == 4
+
+    from tests.test_distributed import train_workload
+    fits = train_workload(population_mesh(4, 1))
+    print("FITS " + repr([tuple(f) for f in fits]), flush=True)
+""")
+
+
+def train_workload(mesh):
+    """One small mixed-depth bucket evaluated via the evaluator's public
+    entry point — the same code path a real mesh run takes (engine/
+    evaluator._get_sharded_run_full). Deterministic: every process derives
+    identical data, genomes, and keys from constants."""
+    from cmoop_audio_processing_tpu.core.config import DataConfig, TrainConfig
+    from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
+    from cmoop_audio_processing_tpu.engine.evaluator import PopulationEvaluator
+
+    data = prepare_dataset(
+        DataConfig(synthetic_train=64, synthetic_eval=32, time_steps=12,
+                   features=8, num_classes=4)
+    )
+    cfg = TrainConfig(
+        epochs=3, batch_size=32, patience=2, num_classes=4,
+        compute_dtype="float32",
+        bucket_genes=("filters", "kernel_size"),  # mixed-depth lanes
+    )
+    genomes = [
+        {"filters": 16, "kernel_size": 3, "use_bn": True,
+         "residual_blocks": 1, "fc_layers": 1, "use_dropout": True},
+        {"filters": 16, "kernel_size": 3, "use_bn": False,
+         "residual_blocks": 2, "fc_layers": 2, "use_dropout": False},
+        {"filters": 16, "kernel_size": 3, "use_bn": True,
+         "residual_blocks": 3, "fc_layers": 1, "use_dropout": False},
+        {"filters": 16, "kernel_size": 3, "use_bn": False,
+         "residual_blocks": 1, "fc_layers": 3, "use_dropout": True},
+    ]
+    ev = PopulationEvaluator(data, cfg, mesh=mesh)
+    return ev.evaluate(genomes, seed=7)
+
+
+def test_two_process_training_step_equality(tmp_path):
+    """A bucket's run_full crosses a real process boundary and returns the
+    single-process-mesh fitness bit for bit, on both processes."""
+    import ast
+
+    from cmoop_audio_processing_tpu.parallel.mesh import population_mesh
+
+    # single-process reference on an identically-shaped 4x1 mesh (the
+    # conftest 8-device CPU world; shard programs match the workers')
+    import jax
+
+    ref = train_workload(population_mesh(4, 1, devices=jax.devices()[:4]))
+
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    outs = _run_two_process(script, tmp_path, timeout=600)
+
+    got = []
+    for out, _ in outs:
+        line = [l for l in out.splitlines() if l.startswith("FITS ")]
+        assert line, out[-2000:]
+        got.append(ast.literal_eval(line[0][5:]))
+    # both processes observe the identical full fitness vector
+    assert got[0] == got[1]
+    for w, r in zip(got[0], ref):
+        assert tuple(w) == tuple(r), (got[0], [tuple(x) for x in ref])
