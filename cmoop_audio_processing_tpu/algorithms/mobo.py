@@ -60,6 +60,8 @@ def _archive_df(
 
 
 def _true_eval(evaluator, genome, cfg: MoboConfig, seed: int):
+    if cfg.eval_seed is not None:  # common random numbers (SearchConfig doc)
+        seed = cfg.eval_seed
     acc, size, fpr = evaluator.evaluate([genome], seed=seed)[0]
     cv = cfg.constraints.violation(acc, size, fpr)
     return np.array([-acc, size, fpr]), cv

@@ -34,7 +34,10 @@ def evaluate_genomes(
     evaluator, genomes: Sequence[Genome], cfg: SearchConfig, seed: int = 0
 ) -> List[Individual]:
     """True evaluation -> individual records (the objective+constraint
-    wrapper, sa_nsga_penalty.py:231-253)."""
+    wrapper, sa_nsga_penalty.py:231-253). ``cfg.eval_seed`` (common random
+    numbers) overrides the caller's per-generation seed when set."""
+    if cfg.eval_seed is not None:
+        seed = cfg.eval_seed
     fits = evaluator.evaluate(list(genomes), seed=seed)
     return [
         make_individual(g, acc, size, fpr, cfg.constraints, cfg.objectives)

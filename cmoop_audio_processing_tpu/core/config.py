@@ -127,6 +127,13 @@ class SearchConfig:
     constraints: Constraints = field(default_factory=Constraints)
     penalty: PenaltySchedule = field(default_factory=PenaltySchedule)
     seed: int = 0
+    # Common-random-numbers knob: when set, EVERY true evaluation uses this
+    # fixed seed instead of the per-generation `seed + gen + 1` stream, so a
+    # genome's fitness is one pure draw for the whole run — and identical
+    # across methods sharing the value. Used by the all-8 comparison harness
+    # (examples/run_all8.py) to cut cross-method variance; None (default)
+    # keeps the reference-like fresh-draw-per-generation behavior.
+    eval_seed: Optional[int] = None
     periodic_save_every: int = 5  # nsga_penalty.py:738
 
 
@@ -141,6 +148,7 @@ class MoboConfig:
     penalty: PenaltySchedule = field(default_factory=PenaltySchedule)
     psi_seed_file: Optional[str] = None
     seed: int = 0
+    eval_seed: Optional[int] = None  # see SearchConfig.eval_seed
     periodic_save_every: int = 5
 
 

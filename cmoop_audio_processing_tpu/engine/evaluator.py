@@ -697,8 +697,12 @@ class FakeEvaluator:
     acc/fpr are smooth functions of the genome (bigger nets & BN help
     accuracy; more blocks & BN reduce FPR), size is the real analytic size,
     so constraint structure mirrors the real problem and the exact Pareto set
-    is computable by enumeration. Optional noise makes repeated evaluation
-    non-identical, mimicking retraining variance."""
+    is computable by enumeration. Optional noise mimics retraining variance
+    while honoring the REAL engine's idempotence contract (a fitness is a
+    pure function of (genome, seed, dataset) — the invariant the fitness
+    cache and common-random-numbers comparisons rest on): the draw is keyed
+    by (genome, eval seed, instance seed), so re-evaluating with the same
+    seed repeats it and a different eval seed gives a fresh draw."""
 
     def __init__(
         self,
@@ -710,7 +714,7 @@ class FakeEvaluator:
         self.num_classes = num_classes
         self.template = template
         self.noise = noise
-        self._rng = np.random.default_rng(seed)
+        self.seed = int(seed)
         self.total_true_evals = 0
         self.timings: List[Dict] = []
 
@@ -738,12 +742,17 @@ class FakeEvaluator:
         return min(acc, 0.995), size, max(fpr, 0.002)
 
     def evaluate(self, genomes: Sequence[Genome], seed: int = 0) -> List[Fitness]:
+        from ..core.genome import genome_key
+
         out = []
         for g in genomes:
             acc, size, fpr = self.fitness(g)
             if self.noise:
-                acc = float(np.clip(acc + self._rng.normal(0, self.noise), 0, 1))
-                fpr = float(max(fpr + self._rng.normal(0, self.noise / 2), 0.0))
+                rng = np.random.default_rng(
+                    [int(v) for v in genome_key(g)] + [int(seed), self.seed]
+                )
+                acc = float(np.clip(acc + rng.normal(0, self.noise), 0, 1))
+                fpr = float(max(fpr + rng.normal(0, self.noise / 2), 0.0))
             out.append((acc, size, fpr))
         self.total_true_evals += len(genomes)
         return out

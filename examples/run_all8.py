@@ -94,8 +94,13 @@ def build_cfg(preset: str, args, seed_file: str | None = None):
             ),
         )
     train = dataclasses.replace(cfg.train, epochs=args.epochs)
+    # Common random numbers (VERDICT r3 #6): one fixed eval seed per replica
+    # shared by all 8 methods (and all generations), so any genome gets the
+    # IDENTICAL fitness draw wherever it appears — the methods are compared
+    # on search behavior, not on evaluation-noise luck.
     search = dataclasses.replace(
         cfg.search, seed=args.seed, pop_size=args.pop, max_gen=args.gen,
+        eval_seed=args.seed,
         psi_seed_file=seed_file if cfg.algorithm != "mobo" else None,
     )
     mobo = cfg.mobo
@@ -103,6 +108,7 @@ def build_cfg(preset: str, args, seed_file: str | None = None):
         mobo = dataclasses.replace(
             mobo, seed=args.seed, initial_samples=args.pop,
             max_iterations=args.gen * 3,  # ~match SA's per-gen infill budget
+            eval_seed=args.seed,
             psi_seed_file=seed_file,
         )
     return cfg.replace(

@@ -314,3 +314,37 @@ def test_predicted_records_get_analytic_size():
     # small genome: true size replaces nonsense prediction, CV untouched
     assert recs[1]["objs"][1] == model_size_mb(small, 10, "A")
     assert recs[1]["CV"] == 0.3
+
+
+class _SeedRecordingEvaluator(FakeEvaluator):
+    """FakeEvaluator that records the seed of every true-eval call."""
+
+    def __init__(self):
+        super().__init__()
+        self.seeds = []
+
+    def evaluate(self, genomes, seed=0):
+        self.seeds.append(int(seed))
+        return super().evaluate(genomes, seed=seed)
+
+
+def test_eval_seed_fixes_every_true_evaluation():
+    """Common random numbers (examples/run_all8.py): SearchConfig.eval_seed
+    pins EVERY true evaluation (init + all generations) to one seed, while
+    the default keeps the per-generation seed + gen + 1 stream."""
+    ev = _SeedRecordingEvaluator()
+    run_nsga2(SearchConfig(pop_size=6, max_gen=3, seed=5, eval_seed=42,
+                           constraints=CONS), ev)
+    assert ev.seeds and set(ev.seeds) == {42}
+
+    ev2 = _SeedRecordingEvaluator()
+    run_nsga2(SearchConfig(pop_size=6, max_gen=3, seed=5,
+                           constraints=CONS), ev2)
+    assert ev2.seeds == [5, 6, 7, 8]  # init, then seed + gen + 1
+
+
+def test_eval_seed_fixes_mobo_true_evaluations():
+    ev = _SeedRecordingEvaluator()
+    run_mobo(MoboConfig(initial_samples=4, max_iterations=2, seed=5,
+                        eval_seed=42, constraints=CONS), ev)
+    assert ev.seeds and set(ev.seeds) == {42}
