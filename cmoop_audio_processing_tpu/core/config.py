@@ -83,6 +83,15 @@ class TrainConfig:
         "filters", "kernel_size", "residual_blocks",
     )
     max_models_per_program: int = 16  # pad bucket sub-populations to <= this
+    # When a bucket overflows max_models_per_program and splits into several
+    # launches, order its genomes by their last observed stop epoch (the
+    # evaluator records epochs_ran per genome) so genomes with similar stop
+    # epochs share a launch: a lockstep program bills every lane until its
+    # slowest lane stops, so separating fast stoppers from slow ones lets
+    # the fast launch exit early instead of every launch carrying one
+    # straggler (PERF.md "lockstep waste"; VERDICT r3 #3). Genomes with no
+    # history sort last (treated as slow), input order breaking ties.
+    pack_by_stop_epoch: bool = True
     parallel_impl: str = "grouped"  # "grouped" (one grouped-conv net) | "vmap"
     # Epochs between early-stop lane compactions. Compaction re-launches
     # survivors in smaller programs; worthwhile for large per-bucket

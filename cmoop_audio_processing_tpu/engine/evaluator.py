@@ -172,6 +172,8 @@ class PopulationEvaluator:
         self._eval_count = 0
         self._launch_count = 0  # device-program dispatches this evaluate()
         self.timings: List[Dict] = []
+        # genome -> last observed epochs_ran (stop-epoch packing predictor)
+        self._epoch_history: Dict[tuple, float] = {}
 
     # -- caching --------------------------------------------------------------
 
@@ -285,6 +287,24 @@ class PopulationEvaluator:
             pop = min(
                 _next_pow2(len(sub)), max(self.cfg.max_models_per_program, 1)
             )
+            if len(sub) > pop and self.cfg.pack_by_stop_epoch:
+                # stop-epoch packing (TrainConfig.pack_by_stop_epoch): group
+                # similar-stop genomes into the same launch so the fast
+                # launch exits early instead of every launch billing a
+                # straggler's epochs. Uses the last observed epochs_ran per
+                # genome (recorded below); unknown genomes sort last, input
+                # order breaks ties.
+                order = sorted(
+                    range(len(sub)),
+                    key=lambda j: (
+                        self._epoch_history.get(
+                            genome_key(sub[j]), float("inf")
+                        ),
+                        j,
+                    ),
+                )
+                idxs = [idxs[j] for j in order]
+                sub = [sub[j] for j in order]
             # chunk oversized sub-populations
             for start in range(0, len(sub), pop):
                 chunk_idx = idxs[start : start + pop]
@@ -330,6 +350,7 @@ class PopulationEvaluator:
                 acc, fpr = fits["acc"][j], fits["fpr"][j]
                 size = model_size_mb(g, self.cfg.num_classes, self.cfg.template)
                 results[gi] = (float(acc), float(size), float(fpr))
+                self._epoch_history[genome_key(g)] = float(fits["epochs"][j])
             if self.fitness_cache is not None:
                 self.fitness_cache.put_many(
                     [(genomes[gi], seed, results[gi]) for gi in chunk_idx]

@@ -12,8 +12,12 @@ artifacts actually need, with zero third-party dependencies:
 * ``write_xlsx(path, sheets)`` — workbook of typed cells (str/bool/number),
   strings inline (no sharedStrings table needed on the write side).
 * ``read_xlsx(path[, sheet])`` -> pandas.DataFrame, first row as header,
-  mirroring ``pd.read_excel`` defaults. Understands sharedStrings, inline
-  strings, booleans and numbers, so it reads openpyxl-written files too.
+  mirroring ``pd.read_excel`` defaults. Understands inline strings plus the
+  sharedStrings table, booleans and numbers — i.e. sharedStrings-format
+  files of the kind Excel writers like openpyxl emit. (No Excel engine
+  exists in this image, so openpyxl interop specifically is asserted only
+  against hand-built sharedStrings fixtures in tests/test_xlsx.py, not
+  against openpyxl's own output.)
 
 Not supported (and not used by the reference's artifacts): formulas, styles,
 dates, merged cells, multi-row headers.

@@ -225,3 +225,68 @@ def test_training_invariant_to_population_composition(data):
         others[:2] + [target] + others[2:], seed=3)[2]
     np.testing.assert_allclose(np.asarray(in_pop), np.asarray(alone),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_stop_epoch_packing_groups_launches_and_preserves_fitness(data):
+    """TrainConfig.pack_by_stop_epoch: when a bucket splits into several
+    launches, genomes are grouped by their recorded stop epochs (fast
+    stoppers share a launch that exits early) — and fitness is unchanged
+    (composition invariance). Depth doubles as the observable here: fast
+    genomes are deep, slow ones shallow, so a packed split yields one
+    max_blocks=3 launch and one max_blocks=1 launch, while the unpacked
+    interleaved order yields two max_blocks=3 launches."""
+    import dataclasses
+
+    from cmoop_audio_processing_tpu.core.genome import genome_key
+
+    deep_fast = [dict(filters=16, kernel_size=3, use_bn=i % 2 == 0,
+                      residual_blocks=3, fc_layers=1 + i, use_dropout=False)
+                 for i in range(4)]
+    shallow_slow = [dict(filters=16, kernel_size=3, use_bn=i % 2 == 1,
+                         residual_blocks=1, fc_layers=1 + i,
+                         use_dropout=False)
+                    for i in range(4)]
+    # interleaved input order: every contiguous 4-chunk mixes both groups
+    genomes = [g for pair in zip(deep_fast, shallow_slow) for g in pair]
+    cfg = dataclasses.replace(
+        _cfg(0), max_models_per_program=4, epochs=4,
+    )
+
+    def history(ev):
+        for g in deep_fast:
+            ev._epoch_history[genome_key(g)] = 2.0
+        for g in shallow_slow:
+            ev._epoch_history[genome_key(g)] = 30.0
+
+    ev_packed = PopulationEvaluator(data, cfg)
+    history(ev_packed)
+    fits_packed = ev_packed.evaluate(genomes, seed=3)
+    packed_blocks = sorted(
+        c["max_blocks"] for c in ev_packed.timings[-1]["chunks"]
+    )
+    assert packed_blocks == [1, 3], ev_packed.timings[-1]["chunks"]
+
+    ev_plain = PopulationEvaluator(
+        data, dataclasses.replace(cfg, pack_by_stop_epoch=False)
+    )
+    history(ev_plain)  # history present but packing off -> input order
+    fits_plain = ev_plain.evaluate(genomes, seed=3)
+    plain_blocks = sorted(
+        c["max_blocks"] for c in ev_plain.timings[-1]["chunks"]
+    )
+    assert plain_blocks == [3, 3], ev_plain.timings[-1]["chunks"]
+
+    # packing must not change any genome's fitness (f32 CPU: exact)
+    np.testing.assert_array_equal(
+        np.asarray(fits_packed), np.asarray(fits_plain)
+    )
+
+    # with no history, unknown genomes keep input order (stable no-op)
+    ev_cold = PopulationEvaluator(data, cfg)
+    ev_cold.evaluate(genomes, seed=3)
+    cold_blocks = sorted(
+        c["max_blocks"] for c in ev_cold.timings[-1]["chunks"]
+    )
+    assert cold_blocks == [3, 3], ev_cold.timings[-1]["chunks"]
+    # ... and the run itself populates the predictor for the next call
+    assert len(ev_cold._epoch_history) == len(genomes)
