@@ -319,7 +319,13 @@ class PopulationEvaluator:
                 # this launch: a shallow launch skips the unused residual
                 # blocks instead of masking them (models/supernet.py). Per-
                 # genome results are invariant to the specialization level
-                # (prefix-stable init streams + exact-zero masked paths).
+                # (prefix-stable init streams + exact-zero masked paths) —
+                # bitwise on CPU; on TPU a different specialization level
+                # compiles a different program whose matmul tiling rounds
+                # differently (any precision), drifting fitness by ~1 val
+                # sample via early-stop amplification (PERF.md round 4).
+                # Lane order and launch membership at a FIXED level stay
+                # bitwise on TPU too.
                 spec = self._bucket_spec(
                     f, k, max(int(g["residual_blocks"]) for g in chunk)
                 )

@@ -21,7 +21,20 @@ settings, template, dtype, data-mesh width, dataset content hash).
 Execution-strategy knobs that are invariance-pinned NOT to affect results
 (bucket_genes, padding, parallel_impl, compaction, launch budget) are
 deliberately excluded — that exclusion is exactly the invariant the test
-suite enforces. Subsequent lines are one completed training each:
+suite enforces.
+
+TPU numerics caveat (bisected 2026-08-19, PERF.md round-4 notes): the
+composition invariance is bitwise on CPU at every setting, and bitwise on
+TPU for lane order / launch membership under a FIXED compiled program
+shape — but a launch whose depth specialization level (BucketSpec.
+max_blocks) differs compiles a different XLA program, whose matmul
+tiling rounds differently on TPU (any precision, bf16 or f32); over a
+training run that drift occasionally shifts an early-stop epoch and moves
+accuracy by ~1 validation sample (|Δacc| ≈ 0.002-0.014 observed). Resume
+replays the SAME run's launch plan, so crash recovery stays exact; only
+cross-composition reuse (the same genome re-arriving beside different
+bucket-mates) can differ from a fresh launch, well inside cross-seed
+evaluation noise. Subsequent lines are one completed training each:
 ``{"g": [genes in GENE_ORDER], "seed": s, "acc": a, "size": m, "fpr": f}``.
 Appends are flushed+fsync'd per batch; a truncated final line (crash
 mid-append) is skipped on load.

@@ -234,7 +234,12 @@ def test_stop_epoch_packing_groups_launches_and_preserves_fitness(data):
     (composition invariance). Depth doubles as the observable here: fast
     genomes are deep, slow ones shallow, so a packed split yields one
     max_blocks=3 launch and one max_blocks=1 launch, while the unpacked
-    interleaved order yields two max_blocks=3 launches."""
+    interleaved order yields two max_blocks=3 launches.
+
+    The bitwise fitness equality here is CPU scope; on TPU a re-packed
+    launch can compile at a different max_blocks level, whose matmul
+    retiling drifts fitness by ~1 val sample (bisected in
+    examples/bisect_composition_tpu.py, PERF.md round 4)."""
     import dataclasses
 
     from cmoop_audio_processing_tpu.core.genome import genome_key
