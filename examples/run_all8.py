@@ -34,6 +34,13 @@ Stage 1 (the PSI seed) is the three bi-objective presets
 (acc_size/acc_fpr/size_fpr_nsga_1) merged via cli/psi_merge — the merge the
 reference performed by hand (SURVEY.md §3.4).
 
+Common random numbers (VERDICT r3 #6): one fixed eval_seed per replica is
+shared by all methods, and a shared per-(replica, evaluation-semantics)
+fitness cache replays any genome's first materialized draw everywhere it
+re-appears — within a replica, a genome's fitness is one number for every
+method that measures fitness the same way (the mobo/stage-1/template-B
+preset groups each share one file; see run_one).
+
 Everything runs sequentially in ONE process (one TPU attach; CLAUDE.md).
 """
 
@@ -41,6 +48,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import hashlib
 import json
 import os
 import sys
@@ -119,7 +127,34 @@ def build_cfg(preset: str, args, seed_file: str | None = None):
 
 def run_one(cfg, args):
     t0 = time.perf_counter()
-    evaluator = make_evaluator(cfg, args.fake_eval)
+    # One shared fitness cache per (replica, evaluation semantics): every
+    # method whose TrainConfig produces identical fitnesses appends to the
+    # same file, so a genome re-appearing in ANY of those methods replays
+    # the identical draw. With eval_seed fixed (CRN) this makes the
+    # cross-method comparison EXACT per genome — it also neutralizes the
+    # TPU program-shape numerics drift (PERF.md round 4: different bucket
+    # compositions can retile matmuls and move accuracy ~1 val sample),
+    # since the first materialized value wins everywhere. The filename tag
+    # hashes every config field of the cache's own fingerprint (utils/
+    # fitness_cache.evaluator_fingerprint) so methods with different
+    # evaluation semantics (template A/B; the mobo presets' restore_best
+    # vs the stage-1 presets' last-epoch accuracy) get separate files
+    # instead of a fingerprint-mismatch crash; the dataset hash — the one
+    # field not in the tag — is shared by construction (one dataset per
+    # replica).
+    cache = None
+    if not args.fake_eval:
+        fp = {
+            f: getattr(cfg.train, f)
+            for f in ("epochs", "batch_size", "patience", "learning_rate",
+                      "num_classes", "restore_best_weights", "accuracy_from",
+                      "template", "dropout_rate", "compute_dtype")
+        }
+        tag = hashlib.sha1(
+            json.dumps(fp, sort_keys=True, default=str).encode()
+        ).hexdigest()[:8]
+        cache = os.path.join(args.out, f"fitness_cache_{tag}.jsonl")
+    evaluator = make_evaluator(cfg, args.fake_eval, fitness_cache_path=cache)
     pareto, _ = run(cfg, evaluator)
     wall = time.perf_counter() - t0
     front = os.path.join(
@@ -143,6 +178,12 @@ def main(argv=None) -> int:
                    help="force the CPU backend (handled at import time)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    # a fresh harness run starts over (CLI semantics): stale caches from a
+    # previous run in the same --out must not replay into this replica
+    import glob
+
+    for stale in glob.glob(os.path.join(args.out, "fitness_cache_*.jsonl")):
+        os.unlink(stale)
 
     # ---- stage 1: three bi-objective runs -> merged PSI seed -------------
     stage1_fronts = [run_one(build_cfg(s, args), args) for s in STAGE1]
