@@ -40,6 +40,12 @@ def _run_two_process(script_path, tmp_path, extra_env=None, timeout=300):
     addr = _free_port_addr()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    # the coordinator is on 127.0.0.1, so gloo's TCP pairs must ride
+    # loopback too: without the pin, the >1-device-per-process contexts
+    # (e.g. cpu:gloo/0,1,2048,2049) resolve an interface whose published
+    # address the peer cannot connect to on this box — rank 0 dies with
+    # "Connect timeout [none]" and rank 1 with a 30 s GetKeyValue timeout
+    env["GLOO_SOCKET_IFNAME"] = "lo"
     env.update(extra_env or {})
     procs = [
         subprocess.Popen(
