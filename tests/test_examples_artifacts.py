@@ -92,12 +92,19 @@ def test_paper_ordering_distributional_across_seeds():
     """The reference's quality claim is DISTRIBUTIONAL (its runs are
     unseeded; SURVEY.md §7). Raw HVs are NOT comparable across seeds (each
     report's reference point is its own union-max), so the aggregate uses
-    per-seed RATIOS vs plain SA-NSGA-II: mean ratio must favor every
-    2-stage variant on both HV and IGD, and the strict per-seed ordering
-    must hold for a majority of seeds. Committed set: strict in 3/5
-    (seeds 11 and 31 each flip a single 2_stage_MOBO HV pair — its front
-    is small, so its HV is high-variance, while its IGD stays well ahead
-    of plain SA-NSGA-II in every seed)."""
+    per-seed RATIOS vs plain SA-NSGA-II.
+
+    The replica set uses common random numbers (VERDICT r3 #6): within
+    each seed, one fixed eval_seed + a shared fitness cache make a
+    genome's fitness ONE draw for every method (examples/run_all8.py), so
+    methods differ only in search behavior. Under CRN the 2-stage
+    SA-family ordering is strict in EVERY seed (tightened below from the
+    pre-CRN majority). What CRN does NOT remove is 2_stage_MOBO's HV flip
+    (strict in 3/5; seeds 23/31 dip 5-7%): its front is small, so its HV
+    hinges on which corner points land — front-geometry variance, not
+    evaluation noise. Its IGD stays strictly ahead of plain SA-NSGA-II in
+    every seed, and the paper's own metric of record for the 2_stage_MOBO
+    claim is IGD-dominant too (BASELINE.md: best HV but GD/IGD 0.0/0.010)."""
     reports = _seed_reports()
     for rep in reports:
         for metric in ("hypervolume", "gd", "igd", "spread"):
@@ -113,6 +120,14 @@ def test_paper_ordering_distributional_across_seeds():
         assert mean_ratio("igd", m, "SA_NSGA-II") <= 1.0, m
     assert mean_ratio("hypervolume", "2_stage_MOBO", "MOBO") >= 1.0
     assert mean_ratio("igd", "2_stage_MOBO", "MOBO") <= 1.0
+
+    # CRN tightening: the SA-family 2-stage variants beat plain SA-NSGA-II
+    # on BOTH metrics in EVERY seed, and 2_stage_MOBO's IGD does too.
+    for r in reports:
+        for m in ("2_stage_SA_NSGA-II", "2_stage_SA-NSGA-II_LS"):
+            assert r["hypervolume"][m] >= r["hypervolume"]["SA_NSGA-II"], m
+            assert r["igd"][m] <= r["igd"]["SA_NSGA-II"], m
+        assert r["igd"]["2_stage_MOBO"] <= r["igd"]["SA_NSGA-II"]
 
     strict = sum(
         all(
