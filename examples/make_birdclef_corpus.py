@@ -14,7 +14,9 @@ of every candidate training to the 300-epoch cap):
   random OTHER species at comparable amplitude (overlapping songs are the
   norm in real soundscape recordings).
 
-Usage: python examples/make_birdclef_corpus.py [out_dir]
+Usage: python examples/make_birdclef_corpus.py [out_dir] [n_per_class]
+(default 120/class = 1320 clips; the round-4 full-scale run used 300/class
+= 3300 clips ≈ 4.6 h of audio, a realistic soundscape-subset volume)
 """
 import os
 import sys
@@ -95,15 +97,16 @@ def make_clip(ci, rng):
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/birdclef_wavs"
+    n_per_class = int(sys.argv[2]) if len(sys.argv) > 2 else N_PER_CLASS
     rng = np.random.default_rng(20260817)
     for ci in range(len(GRAMMAR)):
         cdir = os.path.join(out, f"species_{ci:02d}")
         os.makedirs(cdir, exist_ok=True)
-        for j in range(N_PER_CLASS):
+        for j in range(n_per_class):
             save_wav(os.path.join(cdir, f"clip_{j:03d}.wav"),
                      make_clip(ci, rng), SR)
-        print(f"class {ci}: {N_PER_CLASS} clips", flush=True)
-    print(f"wrote {len(GRAMMAR) * N_PER_CLASS} wavs under {out}")
+        print(f"class {ci}: {n_per_class} clips", flush=True)
+    print(f"wrote {len(GRAMMAR) * n_per_class} wavs under {out}")
 
 
 if __name__ == "__main__":
