@@ -75,7 +75,24 @@ def main() -> int:
     epochs = int(os.environ.get("BENCH_EPOCHS", "25"))
     pop_size = int(os.environ.get("BENCH_POP", "15"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    compaction = int(os.environ.get("BENCH_COMPACTION", "0"))
+    # -1 = the production adaptive policy (TrainConfig default). At the KWS
+    # shape no adaptive term engages for the bench's <=4-lane buckets, so
+    # the driver-facing number is unchanged vs the old hard 0; at the
+    # birdclef shape the heavy-lane SPLIT policy is exactly what is being
+    # measured. 0 forces fused one-shot everywhere (the pre-round-4 bench
+    # and the lockstep arm of the round-4 A/B).
+    compaction = int(os.environ.get("BENCH_COMPACTION", "-1"))
+    # Feature geometry of the synthetic workload. "kws" is the default
+    # (GSC-v2-shaped 44x13, the driver-facing contract); "birdclef" runs the
+    # IDENTICAL generation at the reference's hardest shape point — 5-s
+    # clips' 501x40 log-mel maps, 11 classes (sa_nsga_penalty.py:38-102) —
+    # so MFU/throughput at that shape is measurable with the same harness.
+    shape = os.environ.get("BENCH_SHAPE", "kws")
+    shapes = {"kws": (44, 13, 10), "birdclef": (501, 40, 11)}
+    if shape not in shapes:
+        print(f"bench: unknown BENCH_SHAPE {shape!r}", file=sys.stderr)
+        return 2
+    time_steps, features, num_classes = shapes[shape]
     # Wall budget: with a warm persistent compile cache (.jax_cache) the
     # whole bench runs in ~1 min; on a cold cache the XLA compiles dominate
     # and the serial half degrades to per-bucket extrapolation to stay
@@ -84,7 +101,10 @@ def main() -> int:
     bench_t0 = time.perf_counter()
 
     data = prepare_dataset(
-        DataConfig(synthetic_train=2000, synthetic_eval=500, num_classes=10)
+        DataConfig(
+            synthetic_train=2000, synthetic_eval=500,
+            num_classes=num_classes, time_steps=time_steps, features=features,
+        )
     )
 
     rng = RunRng(0)
@@ -110,6 +130,10 @@ def main() -> int:
             max_models_per_program=max_models,
             compaction_chunk=compaction if max_models > 1 else 0,
             bucket_genes=bucket_genes,
+            num_classes=num_classes,
+            # the BirdCLEF script is the 1-conv-stem template (its preset
+            # matches: core/config.py sa_nsga_penalty)
+            template="B" if shape == "birdclef" else "A",
         )
         return PopulationEvaluator(data, cfg)
 
@@ -251,6 +275,7 @@ def main() -> int:
         "metric": "candidate_evals_per_hour",
         "value": round(pop_rate, 1),
         "unit": "evals/h",
+        "shape": shape,
         "vs_baseline": round(pop_rate / serial_rate, 2),
         "serial_mode": serial_mode,
         "repeats": n_reps,

@@ -287,6 +287,10 @@ class PopulationEvaluator:
             pop = min(
                 _next_pow2(len(sub)), max(self.cfg.max_models_per_program, 1)
             )
+            if pop > 1 and self._should_split_lanes(f, k, sub):
+                # heavy lanes: per-genome launches (exactly the serial
+                # baseline's work, async-dispatched) beat lockstep fusion
+                pop = 1
             if len(sub) > pop and self.cfg.pack_by_stop_epoch:
                 # stop-epoch packing (TrainConfig.pack_by_stop_epoch): group
                 # similar-stop genomes into the same launch so the fast
@@ -339,6 +343,28 @@ class PopulationEvaluator:
         # the worker (observed at BirdCLEF 501x40; KWS 44x13 never trips it).
         # Costs the dispatch overlap; results are bitwise identical.
         sync = os.environ.get("CMOOP_SYNC_DISPATCH", "0") == "1"
+        # Bounded dispatch window: cap how many programs are in flight at
+        # once. An unbounded flood of heavy programs wedges the remote
+        # worker outright (round 4: 15 in-flight single-lane 501x40
+        # programs futex-hung the process before its first result, while 8
+        # fused in-flight programs at the same shape survived). The device
+        # executes launches serially, so overlap only needs the queue
+        # non-empty — a window of 4 keeps the pipeline full with worker
+        # headroom. Materialization order equals launch order either way,
+        # so results are identical to the unbounded pass. Default: bounded
+        # only when the plan contains heavy launches; CMOOP_MAX_INFLIGHT
+        # overrides (0 = unbounded).
+        inflight_env = os.environ.get("CMOOP_MAX_INFLIGHT", "")
+        if inflight_env:
+            max_inflight = int(inflight_env)
+        else:
+            heavy_plan = any(
+                self._est_epoch_seconds(len(padded), spec)
+                * self.settings.epochs
+                >= self._MIN_SPLIT_PROGRAM_SECONDS
+                for _, spec, padded in launches
+            )
+            max_inflight = 4 if heavy_plan else 0  # 0 = unbounded
         # CMOOP_LOG_LAUNCHES=1 prints every launch (spec + lanes) to stderr
         # before dispatch and after materialization — the tool for isolating
         # which program a remote worker died in.
@@ -393,8 +419,12 @@ class PopulationEvaluator:
                     )
             else:
                 pending.append((chunk_idx, spec, fits))
+                if max_inflight and len(pending) >= max_inflight:
+                    # retire the oldest launch before dispatching the next:
+                    # keeps at most max_inflight programs outstanding
+                    _materialize(*pending.pop(0))
         for chunk_idx, spec, fits in pending:
-            _materialize(chunk_idx, spec, fits)  # blocks; all in flight
+            _materialize(chunk_idx, spec, fits)  # blocks; rest in flight
         self.timings.append(
             {
                 "n_genomes": len(genomes),
@@ -438,6 +468,39 @@ class PopulationEvaluator:
             / self._SUSTAINED_FLOPS_PER_S
         )
 
+    # Heavy-bucket lane SPLIT threshold: under the adaptive policy a
+    # multi-lane bucket is split into per-genome single-lane fused launches
+    # when one lane's whole training run is estimated to cost at least this
+    # many device seconds. Rationale (measured round 4 at the BirdCLEF
+    # 501x40 shape, PERF.md): lockstep fusion bills every lane until the
+    # bucket's slowest model stops — ~39% wasted executed FLOPs vs the
+    # serial per-genome baseline at that shape — while the grouped-conv
+    # rate at 2 lanes equals the single-lane rate (13.5 vs 13.6 TFLOP/s),
+    # so fusing buys nothing there. Per-genome launches do exactly the
+    # serial baseline's work and keep the two-pass async dispatch overlap,
+    # so the extra per-launch latency (~0.2 s through the tunnel) hides
+    # behind device execution once a single lane's program runs for >= 2 s.
+    # KWS-sized lanes (~25 ms per whole training run) stay far below the
+    # threshold: fusion remains the dispatch-amortizing win there.
+    _MIN_SPLIT_PROGRAM_SECONDS = 2.0
+
+    def _should_split_lanes(self, f: int, k: int, sub: List[Genome]) -> bool:
+        """Adaptive-policy choice between fusing a bucket's lanes into one
+        grouped launch (cheap lanes: dispatch overhead dominates) and
+        splitting it into per-genome single-lane launches (heavy lanes:
+        lockstep waste dominates, and each launch then also specializes to
+        its own genome's exact depth). Only under compaction_chunk=-1 and
+        never on a mesh (the pop axis is the sharded dimension there)."""
+        if self.mesh is not None or self.settings.compaction_chunk >= 0:
+            return False
+        spec = self._bucket_spec(
+            f, k, max(int(g["residual_blocks"]) for g in sub)
+        )
+        return (
+            self._est_epoch_seconds(1, spec) * self.settings.epochs
+            >= self._MIN_SPLIT_PROGRAM_SECONDS
+        )
+
     def _effective_chunk(self, pop: int, spec: BucketSpec) -> int:
         """Resolve TrainConfig.compaction_chunk for a bucket of `pop` padded
         lanes. -1 = adaptive policy from the PERF.md measurements, two
@@ -446,6 +509,8 @@ class PopulationEvaluator:
         * lane compaction — pays only when enough lanes can actually be
           dropped (pop >= 8) and the epoch budget dwarfs the chunk quantum;
           2*patience between compactions lets stopping decisions stabilize;
+          (heavy-lane buckets never get here: _should_split_lanes turns
+          them into single-lane launches before bucketing)
         * launch-duration bound — a one-shot launch whose estimated device
           time exceeds ``launch_seconds_budget`` runs in bounded chunks
           instead (remote workers kill device programs running longer than

@@ -86,8 +86,10 @@ def test_compaction_matches_oneshot_with_dropout(data):
 
 
 def test_adaptive_chunk_policy(data):
-    """-1 resolves per bucket: chunking only for pop >= 8 lanes AND a long
-    epoch budget; explicit values and a device mesh pass through/force off."""
+    """-1 resolves per bucket: at small feature maps (where a lockstep epoch
+    costs ~nothing, so the heavy-epochs term stays quiet) chunking engages
+    only for pop >= 8 lanes AND a long epoch budget; explicit values and a
+    device mesh pass through/force off."""
     import dataclasses
 
     long_cfg = TrainConfig(num_classes=4, compute_dtype="float32")  # 300 ep
@@ -138,6 +140,50 @@ def test_launch_duration_bound(data):
         data, TrainConfig(num_classes=4, epochs=25, compute_dtype="float32")
     )
     assert kws._effective_chunk(4, kws._bucket_spec(16, 3, 3)) == 0
+
+
+def test_heavy_lane_split():
+    """Under the adaptive policy, big-feature-map buckets split into
+    per-genome single-lane launches instead of fusing: at the BirdCLEF
+    501x40 shape lockstep fusion bills every lane for the bucket's slowest
+    model (round-4 bench: ~39% wasted executed FLOPs vs the serial
+    per-genome baseline) while the grouped rate at 2 lanes equals the
+    single-lane rate, so fusion buys nothing there (PERF.md)."""
+    import dataclasses
+
+    big = prepare_dataset(
+        DataConfig(synthetic_train=2000, synthetic_eval=500, time_steps=501,
+                   features=40, num_classes=11)
+    )
+    cfg = TrainConfig(num_classes=11, template="B", epochs=25)
+    ev = PopulationEvaluator(big, cfg)
+    two = [
+        dict(filters=64, kernel_size=5, use_bn=True, residual_blocks=1,
+             fc_layers=1, use_dropout=False),
+        dict(filters=64, kernel_size=5, use_bn=True, residual_blocks=2,
+             fc_layers=2, use_dropout=False),
+    ]
+    assert ev._should_split_lanes(64, 5, two)
+    # an explicitly forced one-shot plan is honored (the A/B baseline arm)
+    forced = PopulationEvaluator(
+        big, dataclasses.replace(cfg, compaction_chunk=0)
+    )
+    assert not forced._should_split_lanes(64, 5, two)
+    # KWS-sized lanes stay fused: dispatch amortization dominates there
+    kws = prepare_dataset(
+        DataConfig(synthetic_train=2000, synthetic_eval=500, num_classes=10)
+    )
+    kws_ev = PopulationEvaluator(kws, TrainConfig(num_classes=10, epochs=25))
+    assert not kws_ev._should_split_lanes(16, 3, [
+        dict(filters=16, kernel_size=3, use_bn=True, residual_blocks=b,
+             fc_layers=1, use_dropout=False) for b in (1, 2)
+    ])
+    # split lanes remain subject to the launch-duration bound (worker-kill
+    # protection chunks an over-budget single-lane program)
+    long_cfg = PopulationEvaluator(
+        big, dataclasses.replace(cfg, epochs=300)
+    )
+    assert long_cfg._effective_chunk(1, long_cfg._bucket_spec(64, 5, 2)) > 0
 
 
 def test_adaptive_auto_matches_oneshot(data):
