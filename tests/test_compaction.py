@@ -255,6 +255,33 @@ def test_run_full_matches_explicit_chain(data, impl):
         )
 
 
+def test_bounded_inflight_dispatch_matches_unbounded(data, monkeypatch):
+    """CMOOP_MAX_INFLIGHT bounds how many device programs are outstanding
+    at once (worker-wedge protection for heavy launch plans: 15 in-flight
+    BirdCLEF-501x40 programs futex-hung the remote worker, 8 survived —
+    PERF.md round 4). The claim the evaluator makes — materialization order
+    equals launch order, so a bounded window returns results identical to
+    the unbounded overlap pass — is pinned here: the same 4-launch plan
+    under window 1 vs unbounded gives bitwise-equal fitness (CPU f32)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(0), max_models_per_program=1, epochs=6)
+
+    monkeypatch.setenv("CMOOP_MAX_INFLIGHT", "0")
+    ev_free = PopulationEvaluator(data, cfg)
+    fits_free = ev_free.evaluate(GENOMES, seed=3)
+    assert ev_free.timings[-1]["launches"] == len(GENOMES)
+
+    monkeypatch.setenv("CMOOP_MAX_INFLIGHT", "1")
+    ev_bound = PopulationEvaluator(data, cfg)
+    fits_bound = ev_bound.evaluate(GENOMES, seed=3)
+    assert ev_bound.timings[-1]["launches"] == len(GENOMES)
+
+    np.testing.assert_array_equal(
+        np.asarray(fits_bound), np.asarray(fits_free)
+    )
+
+
 def test_training_invariant_to_population_composition(data):
     """A genome's fitness is a function of (genome, seed, dataset) alone:
     evaluating it alone or inside a population of different genomes gives

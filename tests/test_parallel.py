@@ -159,6 +159,39 @@ def test_graft_dryrun_bare_subprocess():
     assert "OK" in proc.stdout
 
 
+def test_bench_mesh_runs_on_virtual_cpu_mesh():
+    """bench_mesh.py is the harness a future multi-chip session runs
+    UNMODIFIED (VERDICT r3 #4b: 'mesh bench runs on 8 virtual devices').
+    Pin that it actually executes end-to-end on the CPU verification mesh
+    and emits the one-JSON-line contract — so the multi-chip reader finds a
+    working harness, not a bitrotted script."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update(
+        PYTHONPATH="/root/repo:/root/.axon_site",
+        BENCH_MESH_CPU="8",  # virtual-device verification mode
+        BENCH_POP="8",
+        BENCH_EPOCHS="2",
+        BENCH_REPS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench_mesh.py"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["metric"] == "mesh_evals_per_hour"
+    assert result["value"] > 0
+    assert result["mesh"] == [8, 1] and result["devices"] == 8
+    assert result["launches_per_gen"] >= 1
+    assert len(result["lanes_per_shard"]) == result["launches_per_gen"]
+    assert result["padding_overhead"] >= 1.0
+
+
 def test_data_axis_sharding_matches_replicated():
     """Batch sharded over the 'data' mesh axis == replicated run (SURVEY
     §2.3 'sharding the training batch'). XLA inserts the gradient psum;
