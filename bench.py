@@ -257,10 +257,19 @@ def main() -> int:
     feats = mfcc_fused(clips, fcfg)
     n_frames_total = feats.shape[0] * feats.shape[1]
     feats.block_until_ready()
+    # Sustained throughput: K calls dispatched back-to-back (JAX async
+    # dispatch), one sync at the end — how bulk extraction actually runs
+    # (cli/extract_features.py pipelines chunks the same way). A single
+    # isolated call is per-call-overhead-bound at the 1-s clip shape (the
+    # pre-round-5 numbers measured that: ~0.9 M frames/s for a ~few-ms
+    # compute); the pipeline rate is the chip's real extraction rate.
+    n_mfcc_reps = 16
     t0 = time.perf_counter()
-    mfcc_fused(clips, fcfg).block_until_ready()
+    outs = [mfcc_fused(clips, fcfg) for _ in range(n_mfcc_reps)]
+    outs[-1].block_until_ready()
     mfcc_seconds = time.perf_counter() - t0
-    mfcc_fps = n_frames_total / mfcc_seconds
+    del outs
+    mfcc_fps = n_mfcc_reps * n_frames_total / mfcc_seconds
 
     # Pallas-vs-XLA parity is part of the bench contract: a Mosaic/XLA
     # regression surfaces here as a hard failure, not silently (dB units)

@@ -154,21 +154,37 @@ def mfcc(y: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()) -> jnp.ndarray:
     )
 
 
+def extract_features_device(
+    wavs: np.ndarray, cfg: FrontendConfig = FrontendConfig(), kind: str = "log_mel",
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Like :func:`extract_features` but returns the DEVICE array without
+    waiting for it: JAX's async dispatch lets the caller overlap host work
+    (wav decoding for the next batch) with device compute for this one —
+    the throughput mode bulk extraction uses (cli/extract_features.py,
+    bench.py's sustained frames/s)."""
+    y = jnp.asarray(np.atleast_2d(wavs), jnp.float32)
+    if kind == "log_mel":
+        if use_pallas:
+            from .pallas_kernels import log_mel_fused
+
+            return log_mel_fused(y, cfg)
+        return log_mel(y, cfg)
+    if kind == "mfcc":
+        if use_pallas:
+            from .pallas_kernels import mfcc_fused
+
+            return mfcc_fused(y, cfg)
+        return mfcc(y, cfg)
+    if kind == "stft_power":
+        return stft_power(y, cfg)
+    raise ValueError(f"unknown feature kind {kind!r}")
+
+
 def extract_features(
     wavs: np.ndarray, cfg: FrontendConfig = FrontendConfig(), kind: str = "log_mel",
     use_pallas: bool = False,
 ) -> np.ndarray:
     """Host-facing batch API: (batch, samples) float waveforms ->
     (batch, n_frames, n_feats) features ready for the data pipeline."""
-    y = jnp.asarray(np.atleast_2d(wavs), jnp.float32)
-    if kind == "log_mel":
-        if use_pallas:
-            from .pallas_kernels import log_mel_fused
-
-            return np.asarray(log_mel_fused(y, cfg))
-        return np.asarray(log_mel(y, cfg))
-    if kind == "mfcc":
-        return np.asarray(mfcc(y, cfg))
-    if kind == "stft_power":
-        return np.asarray(stft_power(y, cfg))
-    raise ValueError(f"unknown feature kind {kind!r}")
+    return np.asarray(extract_features_device(wavs, cfg, kind, use_pallas))

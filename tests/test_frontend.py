@@ -134,6 +134,23 @@ def test_extract_features_api():
     assert feats_m.shape == (3, 101, 13)
 
 
+def test_extract_features_device_async_and_mfcc_pallas_route():
+    """extract_features_device returns an unmaterialized device array, and
+    kind='mfcc' + use_pallas routes to the fused kernel (parity with the
+    XLA path — before round 5 the flag was silently ignored for mfcc)."""
+    import jax
+
+    from cmoop_audio_processing_tpu.frontend.features import (
+        extract_features_device,
+    )
+
+    ys = _signals()
+    dev = extract_features_device(ys, CFG, kind="mfcc", use_pallas=True)
+    assert isinstance(dev, jax.Array)
+    want = np.asarray(mfcc(ys, CFG))
+    np.testing.assert_allclose(np.asarray(dev), want, atol=2e-2)
+
+
 # --- Pallas fused kernel -----------------------------------------------------
 
 def test_pallas_log_mel_matches_xla_path():
