@@ -180,7 +180,10 @@ def test_bench_mesh_runs_on_virtual_cpu_mesh():
     )
     proc = subprocess.run(
         [sys.executable, "bench_mesh.py"],
-        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900,
+        # 3000 s: a 1-core box with a cold compile cache needs ~2300 s (r5:
+        # the mesh programs compile serially on the host; warm runs take
+        # ~2 min) — the old 900 s timed out on exactly that box
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=3000,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
