@@ -90,10 +90,14 @@ def main(argv=None) -> int:
 
     # Pipelined extraction: extract_features_device returns without waiting
     # (JAX async dispatch), so decoding the NEXT chunk's wavs on the host
-    # overlaps the device computing THIS one — materialization happens once
-    # at the end. On per-call-overhead-bound shapes (1-s clips) this runs at
-    # the device's sustained rate instead of one blocking launch per chunk.
-    feats = []
+    # overlaps the device computing THIS one. On per-call-overhead-bound
+    # shapes (1-s clips) this runs at the device's sustained rate instead of
+    # one blocking launch per chunk. Chunks more than `inflight` batches
+    # behind the dispatch frontier are materialized to host as we go, so
+    # device memory stays bounded at ~inflight batches regardless of corpus
+    # size (a 100k-clip 5-s corpus would otherwise fill HBM).
+    inflight = 8
+    feats: list = []
     for start in range(0, len(paths), args.batch):
         chunk = paths[start : start + args.batch]
         wavs = np.stack([load_clip(pth, args.sr, n_samples) for pth in chunk])
@@ -102,6 +106,8 @@ def main(argv=None) -> int:
                 wavs, cfg, kind=args.kind, use_pallas=args.pallas
             )
         )
+        if len(feats) > inflight:
+            feats[-(inflight + 1)] = np.asarray(feats[-(inflight + 1)])
         print(f"  dispatched {min(start + args.batch, len(paths))}/{len(paths)}")
     x = np.concatenate([np.asarray(f) for f in feats]).astype(np.float32)
     y = np.asarray(labels, np.int32)
