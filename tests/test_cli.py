@@ -190,6 +190,18 @@ def test_extract_features_cli(tmp_path):
     assert x.shape == (6, 51, 40)  # 0.5s @ hop 160 -> 51 frames, 40 mels
     assert set(np.unique(y)) <= {0, 1}
 
+    # batch=1 over 12 clips pushes the pipelined loop past its 8-batch
+    # in-flight window (the mid-loop host materialization path); chunking
+    # must not change the emitted features
+    out_b1 = tmp_path / "npy_b1"
+    rc = extract_main(
+        ["--wav-dir", str(tmp_path / "wavs"), "--out", str(out_b1),
+         "--layout", "npy", "--duration", "0.5", "--batch", "1",
+         "--split", "0.5", "0.25", "0.25"]
+    )
+    assert rc == 0
+    np.testing.assert_array_equal(np.load(out_b1 / "X_train.npy"), x)
+
     # the emitted layout round-trips through the standard data pipeline
     from cmoop_audio_processing_tpu.core.config import DataConfig
     from cmoop_audio_processing_tpu.data.pipeline import prepare_dataset
